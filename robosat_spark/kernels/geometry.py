@@ -1,0 +1,291 @@
+"""Vector-geometry kernels: area, orientation, PIP, simplify, clip, IoU.
+
+From-scratch NumPy replacements for the shapely/cv2 calls in the reference:
+  * shoelace area / orientation  <- shapely ``polygon.orient`` + ``.area``
+    (/root/reference/robosat/tools/merge.py:68-81)
+  * point-in-polygon             <- shapely ``intersects`` refinement
+    (/root/reference/robosat/tools/merge.py:52-55, dedupe.py:55-58)
+  * Douglas-Peucker simplify     <- ``cv2.approxPolyDP``
+    (/root/reference/robosat/features/core.py:112-124)
+  * polygon clip + IoU           <- shapely ``intersection/union`` through an
+    equal-area projection (/root/reference/robosat/spatial/core.py:56-77)
+
+A polygon here is an (N, 2) float64 ndarray of vertices; rings may be open
+or closed (first==last) — functions normalize as needed. A polygon-with-
+holes is a list of rings, ring 0 exterior.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .mercator import project_mollweide
+
+
+def close_ring(ring: np.ndarray) -> np.ndarray:
+    """Append the first point if the ring is not closed.
+
+    Parity with /root/reference/robosat/features/core.py:59-61."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) == 0 or np.array_equal(ring[0], ring[-1]):
+        return ring
+    return np.vstack([ring, ring[:1]])
+
+
+def open_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop the duplicated closing point if present."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) >= 2 and np.array_equal(ring[0], ring[-1]):
+        return ring[:-1]
+    return ring
+
+
+def signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area; positive = counter-clockwise."""
+    r = open_ring(ring)
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def is_ccw(ring: np.ndarray) -> bool:
+    return signed_area(ring) > 0.0
+
+
+def orient(ring: np.ndarray, ccw: bool = True) -> np.ndarray:
+    """Force ring winding. Parity with ``polygon.orient(sign=1.0)``
+    (/root/reference/robosat/tools/merge.py:68-73)."""
+    if is_ccw(ring) != ccw:
+        return np.ascontiguousarray(ring[::-1])
+    return np.asarray(ring, dtype=np.float64)
+
+
+def ring_bbox(ring: np.ndarray):
+    r = np.asarray(ring, dtype=np.float64)
+    return float(r[:, 0].min()), float(r[:, 1].min()), float(r[:, 0].max()), float(r[:, 1].max())
+
+
+def bbox_intersects(a, b) -> bool:
+    return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd (crossing number) point-in-polygon test.
+
+    Many points against one ring: O(P*E) fully vectorized. Points exactly on
+    an edge may land either side (consistent with shapely's boundary fuzz —
+    the reference never relies on boundary points)."""
+    r = open_ring(ring)
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x1, y1 = r[:, 0][None, :], r[:, 1][None, :]
+    x2 = np.roll(r[:, 0], -1)[None, :]
+    y2 = np.roll(r[:, 1], -1)[None, :]
+    straddle = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+    crossings = np.sum(straddle & (px < xint), axis=1)
+    return (crossings % 2) == 1
+
+
+def points_in_polygon(px, py, rings) -> np.ndarray:
+    """PIP for a polygon with holes: inside exterior, outside every hole."""
+    inside = points_in_ring(px, py, rings[0])
+    for hole in rings[1:]:
+        inside &= ~points_in_ring(px, py, hole)
+    return inside
+
+
+def simplify_dp(ring: np.ndarray, epsilon: float, closed: bool = True) -> np.ndarray:
+    """Douglas-Peucker polyline simplification, iterative stack form.
+
+    Replaces ``cv2.approxPolyDP(contour, eps, closed=True)``
+    (/root/reference/robosat/features/core.py:112-124, where
+    eps = simplify * arcLength). For closed rings the input is treated as
+    open vertex list; output is open (caller closes)."""
+    pts = open_ring(ring) if closed else np.asarray(ring, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        seg_len = np.hypot(seg[0], seg[1])
+        mid = pts[i + 1 : j]
+        if seg_len < 1e-300:
+            d = np.hypot(mid[:, 0] - pts[i][0], mid[:, 1] - pts[i][1])
+        else:
+            d = np.abs(np.cross(seg, mid - pts[i])) / seg_len
+        k = int(np.argmax(d))
+        if d[k] > epsilon:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    out = pts[keep]
+    if closed and len(out) >= 2 and np.array_equal(out[0], out[-1]):
+        out = out[:-1]
+    return out
+
+
+def arc_length(ring: np.ndarray, closed: bool = True) -> float:
+    """Perimeter; matches ``cv2.arcLength(..., closed=True)`` semantics."""
+    r = close_ring(ring) if closed else np.asarray(ring, dtype=np.float64)
+    if len(r) < 2:
+        return 0.0
+    d = np.diff(r, axis=0)
+    return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+
+
+def segments_intersect(p1, p2, q1, q2) -> bool:
+    """Proper/improper segment intersection via orientation tests."""
+
+    def o(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if abs(v) < 1e-18 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):
+        return (
+            min(a[0], b[0]) - 1e-18 <= c[0] <= max(a[0], b[0]) + 1e-18
+            and min(a[1], b[1]) - 1e-18 <= c[1] <= max(a[1], b[1]) + 1e-18
+        )
+
+    o1, o2 = o(p1, p2, q1), o(p1, p2, q2)
+    o3, o4 = o(q1, q2, p1), o(q1, q2, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and on_seg(p1, p2, q1):
+        return True
+    if o2 == 0 and on_seg(p1, p2, q2):
+        return True
+    if o3 == 0 and on_seg(q1, q2, p1):
+        return True
+    if o4 == 0 and on_seg(q1, q2, p2):
+        return True
+    return False
+
+
+def rings_intersect(a: np.ndarray, b: np.ndarray) -> bool:
+    """Exact polygon-intersects test (edge crossing or containment).
+
+    The refine step of the filter-refine spatial join
+    (/root/reference/robosat/tools/merge.py:52-55). Vectorized edge-pair
+    straddle test, falling back to containment checks."""
+    ra, rb = open_ring(a), open_ring(b)
+    if len(ra) < 3 or len(rb) < 3:
+        return False
+    if not bbox_intersects(ring_bbox(ra), ring_bbox(rb)):
+        return False
+    a1 = ra
+    a2 = np.roll(ra, -1, axis=0)
+    b1 = rb
+    b2 = np.roll(rb, -1, axis=0)
+    # cross((a2-a1), (q-a1)) sign for every (edgeA, pointB) pair
+    def cross_sign(p1, p2, q):
+        d = p2 - p1  # (E,2)
+        v = q[None, :, :] - p1[:, None, :]  # (E,Q,2)
+        return d[:, None, 0] * v[:, :, 1] - d[:, None, 1] * v[:, :, 0]
+
+    sa_b1 = cross_sign(a1, a2, b1)
+    sa_b2 = cross_sign(a1, a2, b2)
+    sb_a1 = cross_sign(b1, b2, a1)
+    sb_a2 = cross_sign(b1, b2, a2)
+    straddleA = (sa_b1 * sa_b2) < 0  # (Ea, Eb): edgeB endpoints straddle edgeA line
+    straddleB = (sb_a1 * sb_a2) < 0  # (Eb, Ea)
+    if np.any(straddleA & straddleB.T):
+        return True
+    # No proper crossing: containment (either fully inside the other).
+    if points_in_ring(ra[:1, 0], ra[:1, 1], rb)[0]:
+        return True
+    if points_in_ring(rb[:1, 0], rb[:1, 1], ra)[0]:
+        return True
+    return False
+
+
+def clip_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman: clip (possibly concave) subject by CONVEX clipper."""
+    clipper = orient(open_ring(clipper), ccw=True)
+    output = open_ring(subject)
+    nc = len(clipper)
+    for i in range(nc):
+        if len(output) == 0:
+            break
+        a = clipper[i]
+        b = clipper[(i + 1) % nc]
+        edge = b - a
+        inp = output
+        prev = np.roll(inp, 1, axis=0)
+        side = edge[0] * (inp[:, 1] - a[1]) - edge[1] * (inp[:, 0] - a[0])
+        side_prev = edge[0] * (prev[:, 1] - a[1]) - edge[1] * (prev[:, 0] - a[0])
+        new_pts = []
+        for j in range(len(inp)):
+            cur_in = side[j] >= 0
+            prev_in = side_prev[j] >= 0
+            if cur_in != prev_in:
+                p0, p1 = prev[j], inp[j]
+                denom = side[j] - side_prev[j]
+                t = -side_prev[j] / denom if abs(denom) > 1e-300 else 0.0
+                new_pts.append(p0 + t * (p1 - p0))
+            if cur_in:
+                new_pts.append(inp[j])
+        output = np.asarray(new_pts, dtype=np.float64).reshape(-1, 2)
+    return output
+
+
+def raster_iou(rings_a, rings_b, resolution: int = 512) -> float:
+    """IoU of two polygons-with-holes via supersampled grid in Mollweide.
+
+    General-polygon ``intersection.area / union.area`` replacement for
+    /root/reference/robosat/spatial/core.py:56-77 (which projects through an
+    equal-area CRS first — we project to Mollweide the same way). Bounded
+    error ~ O(1/resolution); the reference only thresholds IoU and asserts
+    it lies in [0, 1], so bounded error is acceptable (SURVEY.md §7)."""
+
+    def proj(rings):
+        out = []
+        for r in rings:
+            r = open_ring(np.asarray(r, dtype=np.float64))
+            x, y = project_mollweide(r[:, 0], r[:, 1])
+            out.append(np.column_stack([x, y]))
+        return out
+
+    pa = [r for r in proj(rings_a) if len(r) >= 3]
+    pb = [r for r in proj(rings_b) if len(r) >= 3]
+    if not pa or not pb:
+        return 0.0
+    boxes = [ring_bbox(r) for r in (pa[:1] + pb[:1])]
+    minx = min(b[0] for b in boxes)
+    miny = min(b[1] for b in boxes)
+    maxx = max(b[2] for b in boxes)
+    maxy = max(b[3] for b in boxes)
+    if maxx <= minx or maxy <= miny:
+        return 0.0
+    # Pixel-center sample grid over the union bbox.
+    xs = np.linspace(minx, maxx, resolution, endpoint=False) + (maxx - minx) / resolution / 2
+    ys = np.linspace(miny, maxy, resolution, endpoint=False) + (maxy - miny) / resolution / 2
+    gx, gy = np.meshgrid(xs, ys)
+    gx, gy = gx.ravel(), gy.ravel()
+    in_a = points_in_polygon(gx, gy, pa)
+    in_b = points_in_polygon(gx, gy, pb)
+    union = np.count_nonzero(in_a | in_b)
+    if union == 0:
+        return 0.0
+    inter = np.count_nonzero(in_a & in_b)
+    iou = inter / union
+    assert 0.0 <= iou <= 1.0  # invariant from /root/reference/robosat/spatial/core.py:75
+    return float(iou)
+
+
+def polygon_area_m2(ring: np.ndarray) -> float:
+    """Equal-area (Mollweide) polygon area in m², rounded like the reference.
+
+    Parity with /root/reference/robosat/tools/merge.py:78-81 (shapely area
+    in an equal-area projection, ``int(round(area))`` property)."""
+    r = open_ring(np.asarray(ring, dtype=np.float64))
+    x, y = project_mollweide(r[:, 0], r[:, 1])
+    return abs(signed_area(np.column_stack([x, y])))

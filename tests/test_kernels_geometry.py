@@ -1,0 +1,99 @@
+"""Geometry kernel unit tests: PIP, area, DP simplify, intersects, IoU."""
+
+import json
+
+import numpy as np
+import pytest
+
+from robosat_spark.kernels import geometry as G
+
+SQUARE = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+
+
+def _parking_rings():
+    d = json.load(open("/root/reference/tests/fixtures/parking/features.geojson"))
+    return [np.asarray(f["geometry"]["coordinates"][0]) for f in d["features"]]
+
+
+def test_signed_area_and_orientation():
+    assert G.signed_area(SQUARE) == pytest.approx(16.0)
+    assert G.is_ccw(SQUARE)
+    cw = SQUARE[::-1]
+    assert not G.is_ccw(cw)
+    assert G.is_ccw(G.orient(cw, ccw=True))
+
+
+def test_close_open_ring():
+    closed = G.close_ring(SQUARE)
+    assert len(closed) == 5 and np.array_equal(closed[0], closed[-1])
+    assert len(G.open_ring(closed)) == 4
+
+
+def test_points_in_ring():
+    px = np.array([2.0, 5.0, -1.0, 2.0])
+    py = np.array([2.0, 2.0, 2.0, 10.0])
+    np.testing.assert_array_equal(G.points_in_ring(px, py, SQUARE), [True, False, False, False])
+
+
+def test_points_in_polygon_with_hole():
+    hole = np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]])
+    inside = G.points_in_polygon(np.array([0.5, 2.0]), np.array([0.5, 2.0]), [SQUARE, hole])
+    np.testing.assert_array_equal(inside, [True, False])
+
+
+def test_pip_parking_fixture():
+    ring = _parking_rings()[0]
+    cx, cy = ring[:, 0].mean(), ring[:, 1].mean()
+    assert G.points_in_ring(np.array([cx]), np.array([cy]), ring)[0]
+    assert not G.points_in_ring(np.array([cx + 1.0]), np.array([cy]), ring)[0]
+
+
+def test_simplify_dp_square_with_collinear():
+    ring = np.array([[0, 0], [2, 0], [4, 0], [4, 4], [0, 4]], dtype=float)
+    out = G.simplify_dp(ring, 0.01)
+    assert len(out) == 4  # collinear midpoint removed
+
+
+def test_simplify_dp_epsilon_scaling():
+    t = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    circle = np.column_stack([np.cos(t), np.sin(t)])
+    fine = G.simplify_dp(circle, 0.001)
+    coarse = G.simplify_dp(circle, 0.2)
+    assert len(coarse) < len(fine) <= 100
+
+
+def test_arc_length():
+    assert G.arc_length(SQUARE) == pytest.approx(16.0)
+
+
+def test_rings_intersect():
+    other = SQUARE + 2.0  # overlapping
+    assert G.rings_intersect(SQUARE, other)
+    far = SQUARE + 10.0
+    assert not G.rings_intersect(SQUARE, far)
+    contained = SQUARE * 0.25 + 1.0  # fully inside
+    assert G.rings_intersect(SQUARE, contained)
+
+
+def test_clip_convex():
+    clipped = G.clip_convex(SQUARE, SQUARE + 2.0)
+    assert G.signed_area(G.orient(clipped)) == pytest.approx(4.0)
+
+
+def test_raster_iou_known_values():
+    # two unit-degree squares overlapping by half -> IoU = 1/3
+    a = [np.array([[0, 0], [0.01, 0], [0.01, 0.01], [0, 0.01]], dtype=float)]
+    b = [np.array([[0.005, 0], [0.015, 0], [0.015, 0.01], [0.005, 0.01]], dtype=float)]
+    iou = G.raster_iou(a, b, resolution=512)
+    assert iou == pytest.approx(1.0 / 3.0, abs=0.01)
+    assert G.raster_iou(a, a) == pytest.approx(1.0, abs=0.01)
+    c = [np.array([[1, 1], [1.01, 1], [1.01, 1.01], [1, 1.01]], dtype=float)]
+    assert G.raster_iou(a, c) == 0.0
+
+
+def test_polygon_area_parking_plausible():
+    # parking lot 0 is a ~150m-scale feature; equal-area m² should be
+    # in the 1e3..1e5 range (sanity, reference stores int area
+    # /root/reference/robosat/tools/merge.py:78-81)
+    area = G.polygon_area_m2(_parking_rings()[0])
+    assert 1e3 < area < 1e5
