@@ -1,0 +1,110 @@
+"""Text-analysis Column expressions: tokens, quality, lang-id, fingerprints.
+
+Training-data-pipeline operators over ``documents``/``pages`` tables (task
+brief). All JVM-side built-ins — regexp/length/md5 — so they stay in
+whole-stage codegen and are DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Chosen to be unambiguous across the five fixture languages.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "that"],
+    "de": ["der", "und", "die", "nicht", "ist"],
+    "fr": ["le", "et", "les", "des", "est"],
+    "es": ["el", "los", "que", "para", "es"],
+    "pt": ["o", "os", "que", "para", "um"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish proxy: words + punctuation runs are a
+    separate count, see ``subword_count``)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token estimate: count of letter-runs, digit-runs and
+    single punctuation marks (regexp token classes)."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    ).cast("long")
+
+
+def word_occurrences(text: Column, word: str) -> Column:
+    """Count of whole-word occurrences (case-insensitive)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"\b" + word + r"\b"), F.lit(0))
+    ).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.when(n > 0, alpha.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = token_count(text)
+    stops = sum((word_occurrences(text, w) for w in STOPWORDS_EN), F.lit(0).cast("long"))
+    return F.when(toks > 0, stops.cast("double") / toks.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0, 1]: length band + alpha ratio
+    + moderate punctuation + stopword presence (heuristic quality scoring
+    for training-data filtering)."""
+    n = F.length(text).cast("double")
+    length_term = F.least(n / F.lit(1000.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(4.0), F.lit(1.0))
+    return F.round(
+        (length_term + alpha_ratio(text) + punct_term + F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0)))
+        / F.lit(4.0),
+        6,
+    )
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Marker-word hit count for one language."""
+    return sum(
+        (word_occurrences(text, w) for w in LANG_MARKERS[lang]), F.lit(0).cast("long")
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over language marker scores; 'und' when all zero.
+
+    Deterministic tie-break: language order en>de>fr>es>pt (strictly
+    greater-than comparison keeps the earlier language on ties)."""
+    langs = list(LANG_MARKERS)
+    scores = {lg: lang_score(text, lg) for lg in langs}
+    best = F.greatest(*scores.values())
+    pick = F.lit(langs[-1])
+    for lg in reversed(langs[:-1]):
+        pick = F.when(scores[lg] == best, F.lit(lg)).otherwise(pick)
+    return F.when(best > 0, pick).otherwise(F.lit("und"))
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Deterministic 64-bit content fingerprint: first 16 hex chars of
+    md5, reinterpreted as a signed long. md5 is bit-identical in DuckDB, so
+    this is oracle-checkable (exact-dedup key)."""
+    return F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("long")
+
+
+def normalized_text(text: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -1,0 +1,154 @@
+"""Tile/cell encoding as pure Spark Column expressions (JVM-side, codegen).
+
+The slippy-tile arithmetic (mercantile equivalents used throughout the
+reference, e.g. /root/reference/robosat/tiles.py:19-42) is plain math, so it
+compiles into whole-stage codegen — no Python in the hot path, filters on
+tile columns push down to the parquet scan. The NumPy twins in
+``kernels.mercator`` exist for in-UDF use; these are the scan-side forms.
+
+All functions return Columns; ``zoom`` is a Python int (plan-time constant,
+folded by Catalyst).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERCATOR_LAT_LIMIT = 85.051128779806604
+
+
+def _clip_lat(lat: Column) -> Column:
+    return F.least(F.greatest(lat, F.lit(-MERCATOR_LAT_LIMIT)), F.lit(MERCATOR_LAT_LIMIT))
+
+
+def tile_x(lon: Column, zoom: int) -> Column:
+    """x = floor((lon+180)/360 * 2^z), clamped to the grid."""
+    n = float(2**zoom)
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(int(n) - 1)).cast("long")
+
+
+def tile_y(lat: Column, zoom: int) -> Column:
+    """y = floor((1 - asinh(tan(lat))/pi)/2 * 2^z), clamped.
+
+    asinh is spelled ``log(t + sqrt(t*t+1))`` so the DuckDB oracle (which
+    has no asinh) evaluates the bit-identical IEEE expression — floor() at
+    tile boundaries then agrees across engines."""
+    n = float(2**zoom)
+    t = F.tan(F.radians(_clip_lat(lat)))
+    asinh_t = F.log(t + F.sqrt(t * t + F.lit(1.0)))
+    raw = F.floor(
+        (F.lit(1.0) - asinh_t / F.lit(3.141592653589793)) / F.lit(2.0) * F.lit(n)
+    )
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(int(n) - 1)).cast("long")
+
+
+def pack_tile_id(z, x: Column, y: Column) -> Column:
+    """(z, x, y) -> int64 cell id (z<<58)|(x<<29)|y — the shuffle key."""
+    zc = F.lit(int(z)).cast("long") if isinstance(z, int) else z.cast("long")
+    return (
+        F.shiftleft(zc, 58)
+        .bitwiseOR(F.shiftleft(x.cast("long"), 29))
+        .bitwiseOR(y.cast("long"))
+    )
+
+
+def unpack_tile_z(tile_id: Column) -> Column:
+    return F.shiftright(tile_id, 58)
+
+
+def unpack_tile_x(tile_id: Column) -> Column:
+    return F.shiftright(tile_id, 29).bitwiseAND(F.lit((1 << 29) - 1))
+
+
+def unpack_tile_y(tile_id: Column) -> Column:
+    return tile_id.bitwiseAND(F.lit((1 << 29) - 1))
+
+
+def mercator_x(lon: Column) -> Column:
+    """EPSG:3857 x = R * radians(lon)."""
+    return F.lit(6378137.0) * F.radians(lon)
+
+
+def mercator_y(lat: Column) -> Column:
+    """EPSG:3857 y = R * ln(tan(pi/4 + lat/2))."""
+    lat_r = F.radians(_clip_lat(lat))
+    return F.lit(6378137.0) * F.log(F.tan(F.lit(3.141592653589793 / 4.0) + lat_r / F.lit(2.0)))
+
+
+def tile_lon_w(x: Column, zoom: int) -> Column:
+    """West edge longitude of tile x at zoom."""
+    return x.cast("double") / F.lit(float(2**zoom)) * F.lit(360.0) - F.lit(180.0)
+
+
+def tile_lat_n(y: Column, zoom: int) -> Column:
+    """North edge latitude of tile y at zoom."""
+    n = F.lit(float(2**zoom))
+    return F.degrees(F.atan(F.sinh(F.lit(3.141592653589793) * (F.lit(1.0) - F.lit(2.0) * y.cast("double") / n))))
+
+
+def quadkey(x: Column, y: Column, zoom: int) -> Column:
+    """Bing quadkey as a string Column — unrolled per-level digit concat.
+
+    ``zoom`` concat terms, all JVM-side (constant-folded shifts/masks)."""
+    digits = []
+    for level in range(zoom, 0, -1):
+        mask = 1 << (level - 1)
+        d = (
+            F.when(x.cast("long").bitwiseAND(F.lit(mask)) != 0, 1).otherwise(0)
+            + F.when(y.cast("long").bitwiseAND(F.lit(mask)) != 0, 2).otherwise(0)
+        )
+        digits.append(d.cast("string"))
+    return F.concat(*digits) if digits else F.lit("")
+
+
+def morton_cell(x: Column, y: Column, zoom: int) -> Column:
+    """Z-order (Morton) cell id via unrolled bit interleave — JVM-side.
+
+    S2-curve-style locality for range-partitioning; twin of
+    ``kernels.mercator.morton_cell``."""
+
+    def spread(v: Column) -> Column:
+        v = v.cast("long")
+        masks = [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]
+        v = v.bitwiseAND(F.lit(0x00000000FFFFFFFF))
+        for shift, mask in masks:
+            v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+        return v
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
+
+
+def neighbor_offsets_df(spark, include_self: bool = False):
+    """Tiny 8-row (dx, dy) offsets DataFrame for halo/adjacency joins
+    (J6 pattern, /root/reference/robosat/tiles.py:139-159). Always
+    broadcast by Catalyst (8 rows)."""
+    rows = [
+        (dx, dy)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if include_self or not (dx == 0 and dy == 0)
+    ]
+    return spark.createDataFrame(rows, "dx INT, dy INT")
+
+
+def geotag_lon(text: Column) -> Column:
+    """Extract longitude from a ``geo:{lat},{lon}`` token — vectorized regex
+    + try_cast, the engine-side replacement for osmium geometry assembly
+    (SURVEY.md §2.3 G27)."""
+    return F.nullif(
+        F.regexp_extract(text, r"geo:[+-]?\d+\.\d+,([+-]?\d+\.\d+)", 1), F.lit("")
+    ).cast("double")
+
+
+def geotag_lat(text: Column) -> Column:
+    return F.nullif(
+        F.regexp_extract(text, r"geo:([+-]?\d+\.\d+),[+-]?\d+\.\d+", 1), F.lit("")
+    ).cast("double")

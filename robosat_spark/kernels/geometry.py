@@ -22,6 +22,17 @@ import numpy as np
 from .mercator import project_mollweide
 
 
+def as_ring(ring) -> np.ndarray:
+    """Coerce a ring from any nesting (list-of-lists, Arrow object ndarray
+    of point ndarrays) into a dense (N, 2) float64 array."""
+    if isinstance(ring, np.ndarray) and ring.dtype != object and ring.ndim == 2:
+        return ring.astype(np.float64, copy=False)
+    pts = [np.asarray(p, dtype=np.float64) for p in ring]
+    if not pts:
+        return np.zeros((0, 2), dtype=np.float64)
+    return np.stack(pts)
+
+
 def close_ring(ring: np.ndarray) -> np.ndarray:
     """Append the first point if the ring is not closed.
 

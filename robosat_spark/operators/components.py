@@ -1,0 +1,55 @@
+"""Connected components on an edges DataFrame (R3).
+
+Replaces the reference's in-memory ``UndirectedGraph`` + DFS
+(/root/reference/robosat/graph/core.py:4-104 — whose docstring itself flags
+the memory wall) with iterative min-label propagation: each round every
+node takes the min label over itself and its neighbors; converges in
+O(log n) rounds on real geometry graphs (adjacency chains of merged
+features are short). Each round is one shuffle; ``localCheckpoint``
+truncates the growing lineage so round N+1 does not replay rounds 1..N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """edges(src, dst) undirected -> DataFrame(node, component).
+
+    ``component`` is the minimum node id reachable; isolated self-loop
+    edges (the reference adds ``add_edge(i, i)``,
+    /root/reference/robosat/tools/merge.py:50) keep singletons present."""
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
+
+    for _ in range(max_iter):
+        # candidate labels: own label + each neighbor's label
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "dst2"), sym["dst"] == F.col("dst2"))
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        # fixpoint test: any node whose label changed this round?
+        changed = (
+            labels.withColumnRenamed("component", "old")
+            .join(new_labels, "node")
+            .filter(F.col("old") != F.col("component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def component_sizes(labels: DataFrame) -> DataFrame:
+    return labels.groupBy("component").agg(F.count("*").alias("size"))
