@@ -150,17 +150,19 @@ def _q_tile_adjacency(spark, sf_dir):
     from robosat_spark.operators.spatial_join import geotagged_points
     from robosat_spark.sources.pages import pages_from_events
 
+    from robosat_spark.functions.tiles import neighbor_offsets_df
+
     pts = geotagged_points(pages_from_events(spark, sf_dir), zoom=12)
     tiles = pts.select(
         unpack_tile_x(F.col("tile_id")).alias("x"), unpack_tile_y(F.col("tile_id")).alias("y")
     ).distinct()
-    a, b = tiles.alias("a"), tiles.alias("b")
-    pairs = a.join(
-        b,
-        (F.abs(F.col("a.x") - F.col("b.x")) <= 1)
-        & (F.abs(F.col("a.y") - F.col("b.y")) <= 1)
-        & ((F.col("a.x") != F.col("b.x")) | (F.col("a.y") != F.col("b.y"))),
+    # equi-join on shifted keys (J6 pattern): tiles x 8 offsets, then hash
+    # join on the neighbor coordinate — O(T*8) not the O(T^2) theta join a
+    # naive |dx|<=1 predicate would give
+    probes = tiles.crossJoin(neighbor_offsets_df(spark)).select(
+        (F.col("x") + F.col("dx")).alias("nx"), (F.col("y") + F.col("dy")).alias("ny")
     )
+    pairs = probes.join(tiles, (F.col("nx") == F.col("x")) & (F.col("ny") == F.col("y")))
     return pairs.agg(F.count("*").alias("n_adjacent_pairs"))
 
 

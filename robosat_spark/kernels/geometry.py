@@ -292,6 +292,57 @@ def raster_iou(rings_a, rings_b, resolution: int = 512) -> float:
     return float(iou)
 
 
+def raster_iou_multi(polys_a, polys_b, resolution: int = 512) -> float:
+    """IoU between two *sets* of polygons-with-holes (each side a union).
+
+    Generalizes :func:`raster_iou` for the dedupe join's union-of-matches
+    (/root/reference/robosat/tools/dedupe.py:61: union of intersecting OSM
+    shapes before a single IoU)."""
+
+    def proj_all(polys):
+        out = []
+        for rings in polys:
+            pr = []
+            for r in rings:
+                r = open_ring(as_ring(r))
+                if len(r) < 3:
+                    continue
+                x, y = project_mollweide(r[:, 0], r[:, 1])
+                pr.append(np.column_stack([x, y]))
+            if pr:
+                out.append(pr)
+        return out
+
+    pa, pb = proj_all(polys_a), proj_all(polys_b)
+    if not pa or not pb:
+        return 0.0
+    allr = [p[0] for p in pa] + [p[0] for p in pb]
+    minx = min(ring_bbox(r)[0] for r in allr)
+    miny = min(ring_bbox(r)[1] for r in allr)
+    maxx = max(ring_bbox(r)[2] for r in allr)
+    maxy = max(ring_bbox(r)[3] for r in allr)
+    if maxx <= minx or maxy <= miny:
+        return 0.0
+    xs = np.linspace(minx, maxx, resolution, endpoint=False) + (maxx - minx) / resolution / 2
+    ys = np.linspace(miny, maxy, resolution, endpoint=False) + (maxy - miny) / resolution / 2
+    gx, gy = np.meshgrid(xs, ys)
+    gx, gy = gx.ravel(), gy.ravel()
+
+    def union_mask(polys):
+        m = np.zeros(gx.shape[0], dtype=bool)
+        for rings in polys:
+            m |= points_in_polygon(gx, gy, rings)
+        return m
+
+    in_a, in_b = union_mask(pa), union_mask(pb)
+    union = np.count_nonzero(in_a | in_b)
+    if union == 0:
+        return 0.0
+    iou = np.count_nonzero(in_a & in_b) / union
+    assert 0.0 <= iou <= 1.0
+    return float(iou)
+
+
 def polygon_area_m2(ring: np.ndarray) -> float:
     """Equal-area (Mollweide) polygon area in m², rounded like the reference.
 

@@ -13,6 +13,15 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "robosat_spark", cores: int | None = None, shuffle_partitions: int | None = None) -> SparkSession:
+    # Python workers import this package by name (pandas UDFs close over
+    # kernels); make the repo root visible to them regardless of the
+    # driver's cwd — the local-mode equivalent of spark-submit --py-files.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:

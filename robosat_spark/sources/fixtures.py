@@ -128,11 +128,12 @@ def build_feature_rows():
         add([_rect(base_lon + k * (0.001 + gap), base_lat, 0.001, 0.001)],
             props={"src": "merge-cluster"})
 
-    # overlapping pairs at known IoU {0.0, ~0.3, ~0.5, ~0.9} (dedupe goldens)
-    # For two unit squares overlapping horizontally by t: IoU = t/(2-t)
-    # t: 0.0 -> 0.0, 6/13 -> 0.3, 2/3 -> 0.5, 18/19 -> 0.9
+    # overlapping pairs at known IoU {0.0, ~0.3, ~0.55, ~0.9} (dedupe goldens;
+    # 0.55 not 0.5 so the threshold-0.5 verdict is not knife-edge on raster
+    # sampling error). For two squares overlapping by fraction t: IoU = t/(2-t)
+    # t: 0.0 -> 0.0, 6/13 -> 0.3, 22/31 -> 0.55, 18/19 -> 0.9
     w = 0.002
-    for idx, t in enumerate([0.0, 6.0 / 13.0, 2.0 / 3.0, 18.0 / 19.0]):
+    for idx, t in enumerate([0.0, 6.0 / 13.0, 22.0 / 31.0, 18.0 / 19.0]):
         lon0 = -82.806 + idx * 0.006
         lat0 = 34.666
         add([_rect(lon0, lat0, w, w)], props={"src": f"ioupair-{idx}-a"})
