@@ -264,6 +264,148 @@ def _q_ann_cosine(spark, sf_dir):
     )
 
 
+def _q_pip_assign_salted(spark, sf_dir):
+    """The salted-repartition-by-cell variant of the flagship join (the
+    skew-kill path, BASELINE.json north_rule) — identical result by
+    construction, so it shares pip_assign's oracle."""
+    from robosat_spark.operators.spatial_join import assign_salted
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+    from robosat_spark.sources.pages import pages_from_events
+
+    pg = pages_from_events(spark, sf_dir)
+    ft = oracle_rect_features(spark)
+    assigned = assign_salted(spark, pg, ft, zoom=7, salt=16)
+    return assigned.groupBy("feature_id").agg(
+        F.count("*").alias("n_pages"), F.countDistinct("url").alias("n_urls")
+    )
+
+
+def _q_cover(spark, sf_dir):
+    """G2 tile cover: the real scanline cover kernel over the oracle rects
+    at z10, exploded to (feature_id, x, y)."""
+    from robosat_spark.operators.cover import cover
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+
+    ft = oracle_rect_features(spark)
+    return cover(ft, zoom=10).select("feature_id", "x", "y")
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (3-word shingles, 32 perms, banded
+    candidates, exact-Jaccard refine >= 0.3). Oracle = exact all-pairs."""
+    from robosat_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=3, num_perm=32, threshold=0.3)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    """Per-doc 32-bit SimHash signature (TF-weighted md5 bit votes)."""
+    from robosat_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), bits=32).alias("simhash"))
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer (first 16 vectors), nprobe=4,
+    top-5 within the probed cells — the bucketed scale path vs ann_cosine."""
+    from robosat_spark.operators.ann import ann_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    out = ann_ivf(base, queries_df, n_centroids=16, nprobe=4, k=5)
+    return out.select("query_id", "item_id", "rank", F.round("sim", 6).alias("sim"))
+
+
+def _q_quality_score(spark, sf_dir):
+    """Composite document-quality score (length/alpha/punct/stopword)."""
+    from robosat_spark.functions.text import quality_score, stopword_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _q_doc_fingerprint_rolling(spark, sf_dir):
+    """Winnowing-style rolling-hash document fingerprint (pandas-UDF path;
+    genuinely non-SQL — no oracle entry, rows-only check)."""
+    import pandas as pd
+
+    from robosat_spark.kernels.hashing import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fp": [rolling_fingerprint(t, window=64) for t in pdf["text"]],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, "doc_id LONG, fp LONG")
+
+
+def _q_mask_vectorize(spark, sf_dir):
+    """Raster->vector handoff e2e (P1+G14+G10): rasterize the oracle rects
+    at z12, synthesize noisy predictions, threshold back to masks, trace
+    contours + DP-simplify. Returns per-tile polygon counts + total area.
+    Non-SQL (raster kernels) — rows-only check."""
+    from robosat_spark.operators.cover import cover
+    from robosat_spark.operators.features import extract_features
+    from robosat_spark.operators.rasterize import (
+        probs_to_masks,
+        rasterize_masks,
+        synthesize_probs,
+    )
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+
+    ft = oracle_rect_features(spark).limit(1)
+    tiles = cover(ft, zoom=12).select("x", "y").limit(32)
+    masks = rasterize_masks(spark, tiles, ft, zoom=12, size=256)
+    probs = synthesize_probs(masks, noise=0.01)
+    pred = probs_to_masks(probs)
+    feats = extract_features(pred, denoise_px=8, grow_px=8)
+    return feats.groupBy("x", "y").agg(
+        F.count("*").alias("n_polygons"),
+        F.round(F.sum("area_m2"), 0).alias("area_m2"),
+    )
+
+
+def _q_feature_merge(spark, sf_dir):
+    """rs merge e2e on the fixture cluster: adjacency join + connected
+    components + per-component union. Non-SQL — rows-only check."""
+    from robosat_spark.operators.merge import merge_features
+    from robosat_spark.sources.fixtures import features as fixture_features
+
+    ft = fixture_features(spark).filter(F.col("props")["src"] == "merge-cluster")
+    merged = merge_features(spark, ft, threshold_m=20.0)
+    return merged.select("component", "n_members", F.round("area_m2", 0).alias("area_m2"))
+
+
+def _q_dedupe_iou(spark, sf_dir):
+    """rs dedupe e2e on the fixture IoU pairs: cell join + intersects +
+    raster IoU threshold. Non-SQL — rows-only check."""
+    from robosat_spark.operators.dedupe import dedupe
+    from robosat_spark.sources.fixtures import features as fixture_features
+
+    all_ft = fixture_features(spark)
+    pred = all_ft.filter(F.col("props")["src"].like("ioupair-%-a"))
+    osm = all_ft.filter(F.col("props")["src"].like("ioupair-%-b"))
+    verdicts = dedupe(spark, pred, osm, threshold=0.5)
+    return verdicts.select("pred_id", F.round("iou", 2).alias("iou"), "keep")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -281,6 +423,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
         "ann_cosine": _q_ann_cosine,
+        "pip_assign_salted": _q_pip_assign_salted,
+        "cover": _q_cover,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_ivf": _q_ann_ivf,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint_rolling": _q_doc_fingerprint_rolling,
+        "mask_vectorize": _q_mask_vectorize,
+        "feature_merge": _q_feature_merge,
+        "dedupe_iou": _q_dedupe_iou,
     }
 
 
@@ -302,13 +454,13 @@ _PAGES = """
 """
 
 
-def _tile_sql(zoom: int):
+def _tile_sql(zoom: int, lon: str = "lon", lat: str = "lat"):
     """SQL twins of functions.tiles.tile_x/tile_y/pack_tile_id — identical
     literal structure for bit-identical floors."""
     n = float(2**zoom)
     nmax = int(n) - 1
-    tx = f"CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * {n!r}), 0), {nmax}) AS BIGINT)"
-    clip = f"LEAST(GREATEST(lat, -{LAT_LIMIT}), {LAT_LIMIT})"
+    tx = f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {n!r}), 0), {nmax}) AS BIGINT)"
+    clip = f"LEAST(GREATEST({lat}, -{LAT_LIMIT}), {LAT_LIMIT})"
     t = f"TAN(RADIANS({clip}))"
     asinh_t = f"LN({t} + SQRT({t} * {t} + 1.0))"
     ty = (
@@ -320,6 +472,7 @@ def _tile_sql(zoom: int):
 
 def oracle_sql() -> dict[str, str]:
     from robosat_spark.functions.text import LANG_MARKERS, STOPWORDS_EN  # noqa: F401
+    from robosat_spark.operators.dedup import shingles_sql, simhash_sql
     from robosat_spark.sources.oracle_features import ORACLE_RECTS, rect_centroids_vertexmean
 
     tx12, ty12, pack12 = _tile_sql(12)
@@ -466,6 +619,88 @@ def oracle_sql() -> dict[str, str]:
     sql["lang_id"] = f"""
         SELECT doc_id, CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END AS pred_lang
         FROM (SELECT doc_id, text, {score_cols} FROM documents)
+    """
+
+    sql["pip_assign_salted"] = sql["pip_assign"]
+
+    tx_a, _, _ = _tile_sql(10, lon="x0")
+    tx_b, _, _ = _tile_sql(10, lon="x1")
+    _, ty_top, _ = _tile_sql(10, lat="y1")
+    _, ty_bot, _ = _tile_sql(10, lat="y0")
+    rect_vals = ", ".join(f"({fid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})" for fid, x0, y0, x1, y1 in ORACLE_RECTS)
+    sql["cover"] = f"""
+        WITH rects(feature_id, x0, y0, x1, y1) AS (VALUES {rect_vals}),
+        b AS (SELECT feature_id, {tx_a} AS txa, {tx_b} AS txb,
+                     {ty_top} AS tya, {ty_bot} AS tyb FROM rects)
+        SELECT feature_id, x, unnest(generate_series(tya, tyb)) AS y
+        FROM (SELECT feature_id, unnest(generate_series(txa, txb)) AS x, tya, tyb FROM b)
+    """
+
+    shg = shingles_sql(3)
+    jac = "len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    sql["dedup_minhash_lsh"] = f"""
+        WITH sh AS (SELECT doc_id, {shg} AS sh FROM documents)
+        SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE j >= 0.3
+    """
+
+    sql["dedup_simhash"] = f"""
+        SELECT doc_id, {simhash_sql(32)} AS simhash FROM documents
+    """
+
+    sql["ann_ivf"] = """
+        WITH base AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT item_id AS centroid_id, v AS cvec FROM base WHERE item_id < 16),
+        assigned AS (
+          SELECT item_id, v, centroid_id FROM (
+            SELECT b.item_id, b.v, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.item_id
+                                      ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
+                                               c.centroid_id ASC) AS rn
+            FROM base b CROSS JOIN cents c) WHERE rn = 1),
+        q AS (SELECT item_id AS query_id, v AS qvec FROM base WHERE item_id < 3),
+        probes AS (
+          SELECT query_id, qvec, centroid_id FROM (
+            SELECT q.query_id, q.qvec, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC,
+                                               c.centroid_id ASC) AS rn
+            FROM q CROSS JOIN cents c) WHERE rn <= 4),
+        cand AS (
+          SELECT p.query_id, a.item_id, list_cosine_similarity(a.v, p.qvec) AS sim
+          FROM probes p JOIN assigned a USING (centroid_id)
+          WHERE a.item_id != p.query_id)
+        SELECT query_id, item_id, rank, ROUND(sim, 6) AS sim
+        FROM (SELECT query_id, item_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, item_id ASC) AS rank
+              FROM cand)
+        WHERE rank <= 5
+    """
+
+    stops = " + ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in STOPWORDS_EN
+    )
+    toks = r"CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END"
+    stop_ratio = f"CASE WHEN ({toks}) > 0 THEN ({stops})::DOUBLE / ({toks}) ELSE 0.0 END"
+    punct = (
+        "CASE WHEN length(text) > 0 THEN "
+        "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) "
+        "ELSE 0.0 END"
+    )
+    alpha = (
+        "CASE WHEN length(text) > 0 THEN "
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) "
+        "ELSE 0.0 END"
+    )
+    sql["quality_score"] = f"""
+        SELECT doc_id, ROUND({stop_ratio}, 6) AS stop_ratio,
+               ROUND((LEAST(length(text) / 1000.0, 1.0) + ({alpha})
+                      + (1.0 - LEAST(({punct}) * 4.0, 1.0))
+                      + LEAST(({stop_ratio}) * 5.0, 1.0)) / 4.0, 6) AS quality
+        FROM documents
     """
 
     sql["ann_cosine"] = """

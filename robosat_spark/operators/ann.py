@@ -1,0 +1,79 @@
+"""Approximate nearest neighbor over embedding columns.
+
+Two strategies (task brief: brute-force baseline + a bucketed scale path):
+
+- brute force: ``knn``-style cross join + rank window (see the
+  ``ann_cosine`` driver query) — exact, O(n·q), right when q is small;
+- IVF (inverted-file) index: a deterministic coarse quantizer (the first
+  ``n_centroids`` vectors by id — k-means-free so the oracle can replay it)
+  partitions the corpus into cells; a query probes only its ``nprobe``
+  nearest cells. At cluster scale the cell assignment is a broadcast join
+  (centroid table is tiny), the corpus can be written bucketed by
+  ``centroid_id`` so probes prune partitions, and per-query work drops from
+  O(n) to O(n·nprobe/n_centroids).
+
+All distance math is JVM-side (``functions.vectors``); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_sim
+
+
+def ivf_assign(base: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFrame]:
+    """-> (centroids, assigned): deterministic IVF build.
+
+    ``base``: (item_id LONG, vec ARRAY<DOUBLE>). Centroids are the first
+    ``n_centroids`` items by id; every item is assigned to its max-cosine
+    centroid (ties -> lowest centroid id)."""
+    centroids = base.filter(F.col("item_id") < n_centroids).select(
+        F.col("item_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+    scored = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "csim", cosine_sim(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("item_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("item_id", "vec", "centroid_id")
+    )
+    return centroids, assigned
+
+
+def ann_ivf(
+    base: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """-> (query_id, item_id, rank, sim): top-k by cosine among the items
+    assigned to the query's ``nprobe`` nearest centroids (self-matches
+    excluded). ``queries``: (query_id LONG, qvec ARRAY<DOUBLE>)."""
+    centroids, assigned = ivf_assign(base, n_centroids)
+
+    qprobe = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "csim", cosine_sim(F.col("qvec"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+
+    cand = (
+        probes.join(assigned, "centroid_id")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn("sim", cosine_sim(F.col("vec"), F.col("qvec")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "rank", "sim")
+    )

@@ -1,0 +1,150 @@
+"""Text near-duplicate detection: shingles, MinHash+LSH, SimHash (JVM-side).
+
+Training-data-pipeline operators over ``documents`` (task brief). The whole
+chain — shingling, the md5-based hash family, per-permutation minima, LSH
+banding, Jaccard refine — is built from Spark built-ins (split / transform /
+array_min / md5 / conv / array_intersect), so it runs inside whole-stage
+codegen with NO Python in the hot path and is DuckDB-oracle-checkable
+bit-for-bit (md5 and IEEE division agree across engines).
+
+Scale shape: signatures are computed per-row with zero shuffle
+(``array_min`` over a ``transform``, not an explode+groupBy); the only
+shuffles are the LSH band-bucket self-join (equi-join on (band, key) — the
+standard MinHash-LSH plan, linear in corpus size) and the final pair
+distinct. The O(n²) all-pairs comparison never happens: candidate
+generation is the banded join, and the exact-Jaccard refine touches only
+bucket-colliding pairs.
+
+The reference's own dedupe is geometric IoU
+(/root/reference/robosat/tools/dedupe.py — see ``operators.dedupe``); these
+cover the text side of the generalized engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words(text: Column) -> Column:
+    """Whitespace word array (split on runs, trimmed)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined). Texts shorter than k words
+    contribute one shingle: the whole text."""
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k))))
+
+
+def _hash60(s: Column) -> Column:
+    """60-bit hash of a string: first 15 hex chars of md5 as a long.
+    Bit-identical in DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def minhash_sig(shingles: Column, num_perm: int = 32) -> list[Column]:
+    """MinHash signature as ``num_perm`` columns: permutation i is the md5
+    family member h_i(s) = hash60(s || ':' || i); sig_i = min over shingles.
+
+    ``array_min(transform(...))`` keeps this a per-row expression — no
+    explode, no shuffle, scales embarrassingly."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: _hash60(F.concat(s, F.lit(f":{i}"))))
+        ).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays (JVM set ops)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 32,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """-> (doc_a, doc_b, jaccard): near-duplicate pairs at shingle-Jaccard
+    >= threshold, found via banded MinHash-LSH (rows-per-band=1, so a pair
+    is a candidate iff some permutation minimum collides; miss probability
+    (1-j)^num_perm — < 1.1e-5 at j=0.3, num_perm=32) then verified with
+    exact Jaccard. Output matches the exact all-pairs oracle."""
+    sh = docs.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
+    sig = sh.select("id", "sh", *minhash_sig(F.col("sh"), num_perm))
+
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("key"))
+                    for i in range(num_perm)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+    pairs = (
+        cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash signature over word occurrences (term-frequency weighted):
+    bit j of the output is set iff sum over words of (2*bit_j(hash60(word))
+    - 1) is positive. Pure column expression — the per-word hashes are
+    computed once via ``transform`` and folded per bit."""
+    hs = F.transform(words(text), lambda x: _hash60(x))
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        s_j = F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc
+            + (F.shiftright(v, j).bitwiseAND(F.lit(1).cast("long")) * F.lit(2) - F.lit(1)),
+        )
+        out = out + F.when(s_j > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_sql(bits: int = 32) -> str:
+    """The DuckDB twin of ``simhash`` (same md5 family, same fold), as a SQL
+    expression over a column named ``text``."""
+    hs = r"list_transform(regexp_split_to_array(trim(text), '\s+'), x -> ('0x'||substr(md5(x),1,15))::BIGINT)"
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({hs}, v -> ((v >> {j}) & 1)*2 - 1)) > 0"
+        f" THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(bits)
+    )
+    return f"({terms})"
+
+
+def shingles_sql(k: int = 3) -> str:
+    """DuckDB twin of ``word_shingles`` as a SQL expression over ``text``."""
+    w = r"regexp_split_to_array(trim(text), '\s+')"
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({w})-{k - 1}, 1)), "
+        f"i -> array_to_string(({w})[i:i+{k - 1}], ' ')))"
+    )

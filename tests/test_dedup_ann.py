@@ -1,0 +1,82 @@
+"""MinHash-LSH / SimHash / IVF-ANN operator semantics."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from robosat_spark.operators.ann import ann_ivf, ivf_assign
+from robosat_spark.operators.dedup import minhash_lsh_pairs, simhash, word_shingles
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different content about spark shuffle partitions and joins"),
+        (3, "another unrelated document mentioning tile pyramids and web mercator"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([(0, "one two")], "id LONG, text STRING")
+    out = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
+    assert out == ["one two"]
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0  # near dup
+    assert (1, 4) in pairs
+    assert all(a in (0, 1, 4) and b in (0, 1, 4) for a, b in pairs)  # no false pairs
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in
+          docs.select("doc_id", simhash(F.col("text")).alias("simhash")).collect()}
+    assert sh[0] == sh[4]
+    assert sh[0] != sh[2]
+    # empty text reduces to the single '' token's hash bits — deterministic
+    import hashlib
+
+    h = int(hashlib.md5(b"").hexdigest()[:15], 16)
+    assert sh[5] == h & 0xFFFFFFFF
+    near_ham = bin(sh[0] ^ sh[1]).count("1")
+    far_ham = bin(sh[0] ^ sh[2]).count("1")
+    assert near_ham < far_ham
+
+
+def test_ivf_assign_centroids_self_assign(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows += [(4, [0.9, 0.1, 0.0, 0.0]), (5, [0.0, 0.1, 0.95, 0.0])]
+    base = spark.createDataFrame(rows, "item_id LONG, vec ARRAY<DOUBLE>")
+    _, assigned = ivf_assign(base, n_centroids=4)
+    got = {r["item_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert got[0] == 0 and got[1] == 1 and got[2] == 2 and got[3] == 3
+    assert got[4] == 0 and got[5] == 2
+
+
+def test_ann_ivf_matches_bruteforce_when_probing_all(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(float)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], "item_id LONG, vec ARRAY<DOUBLE>"
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(2)], "query_id LONG, qvec ARRAY<DOUBLE>"
+    )
+    # nprobe == n_centroids -> exhaustive -> must equal brute force
+    out = ann_ivf(base, queries, n_centroids=4, nprobe=4, k=3).collect()
+    sims = vecs @ vecs.T / (np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(vecs, axis=1)[None, :])
+    for q in range(2):
+        order = [i for i in np.argsort(-sims[q]) if i != q][:3]
+        got = [r["item_id"] for r in sorted(out, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert got == order
