@@ -280,6 +280,21 @@ def _q_pip_assign_salted(spark, sf_dir):
     )
 
 
+def _q_pip_assign_jvm(spark, sf_dir):
+    """All-JVM variant of the flagship join: broadcast cover join + codegen
+    crossing-number PIP (no Python workers at all) — same oracle."""
+    from robosat_spark.operators.spatial_join import assign_jvm
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+    from robosat_spark.sources.pages import pages_from_events
+
+    pg = pages_from_events(spark, sf_dir)
+    ft = oracle_rect_features(spark)
+    assigned = assign_jvm(spark, pg, ft, zoom=7)
+    return assigned.groupBy("feature_id").agg(
+        F.count("*").alias("n_pages"), F.countDistinct("url").alias("n_urls")
+    )
+
+
 def _q_cover(spark, sf_dir):
     """G2 tile cover: the real scanline cover kernel over the oracle rects
     at z10, exploded to (feature_id, x, y)."""
@@ -424,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ann_cosine": _q_ann_cosine,
         "pip_assign_salted": _q_pip_assign_salted,
+        "pip_assign_jvm": _q_pip_assign_jvm,
         "cover": _q_cover,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -622,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["pip_assign_salted"] = sql["pip_assign"]
+    sql["pip_assign_jvm"] = sql["pip_assign"]
 
     tx_a, _, _ = _tile_sql(10, lon="x0")
     tx_b, _, _ = _tile_sql(10, lon="x1")

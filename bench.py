@@ -20,6 +20,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def scaling_input(spark, n: int) -> str:
+    """Materialize the deterministic pages(n) table to parquet once (the
+    'same input' of the north rule — both parallelism levels scan the same
+    files, like a real cluster scanning the same Iceberg snapshot).
+    Generation itself is excluded from the timed job."""
+    path = os.environ.get("SPARK_GRAFT_SCALING_DIR", f"/tmp/robosat_scaling_pages_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from robosat_spark.sources.pages import pages
+
+        # slim projection (the engine only scans these columns anyway) and
+        # many files so both parallelism levels can split the scan fully
+        pages(spark, n).select("url", "warc_ts", "text").repartition(256).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def scaling_job(spark, path: str) -> int:
+    """The north-rule scaling workload: parquet scan of pages (with the
+    planted hot z18 tile holding ~half the bbox points) -> geotag extraction
+    -> z18 tile encode -> SALTED repartition-by-cell -> broadcast-index PIP
+    refine -> count. Exercises scan, codegen expressions, one full shuffle,
+    and the Arrow refine."""
+    from pyspark.sql import functions as F
+
+    from robosat_spark.operators.spatial_join import assign_count_by_feature
+    from robosat_spark.sources.fixtures import dense_polygon_features, features
+
+    pg = spark.read.parquet(path)
+    ft = features(spark).unionByName(dense_polygon_features(spark))
+    counts = assign_count_by_feature(spark, pg, ft, zoom=18, salt=32)
+    return counts.agg(F.sum("n_pages")).collect()[0][0]
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -30,6 +64,34 @@ def main():
     spark = get_spark(app="robosat_spark_bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    scaling_n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "0"))
+    if scaling_n:
+        # scaling-evidence mode: run ONLY the big salted flagship job
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # point rows are tiny: big Arrow batches amortize per-batch pandas
+        # overhead in the refine (the session default is sized for mask rows)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        path = scaling_input(spark, scaling_n)
+        spark.read.parquet(path).count()  # untimed: warm page cache + workers
+        t0 = time.perf_counter()
+        joined = scaling_job(spark, path)
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": "pages_joined_per_sec_salted",
+                    "value": round(joined / dt, 1),
+                    "unit": "rows/sec",
+                    "queries": {"scaling_job": round(dt, 3)},
+                    "sf": scaling_n,
+                    "cpus": cpus,
+                    "joined_rows": joined,
+                }
+            )
+        )
+        spark.stop()
+        return
+
     qs = entry.queries()
     bench_queries = [
         "tile_encode",
@@ -39,9 +101,14 @@ def main():
         "latest_event_per_user",
         "sessionize",
         "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
         "token_stats",
         "lang_id",
+        "quality_score",
         "ann_cosine",
+        "ann_ivf",
+        "cover",
         "pricing_summary",
         "market_join",
     ]

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tiles import geotag_lat, geotag_lon, pack_tile_id, tile_x, tile_y
+from ..functions.tiles import geotag_lat_fast, geotag_lon_fast, pack_tile_id, tile_x, tile_y
 from ..kernels.geometry import as_ring, points_in_polygon
 
 
@@ -40,8 +40,8 @@ def geotagged_points(pages: DataFrame, zoom: int) -> DataFrame:
     Geotag extraction is pure regex+cast (G27) and tile encode is pure
     arithmetic — both JVM-side, so Catalyst pushes the ``isNotNull`` filter
     into the scan and prunes every other column."""
-    lon = geotag_lon(F.col("text"))
-    lat = geotag_lat(F.col("text"))
+    lon = geotag_lon_fast(F.col("text"))
+    lat = geotag_lat_fast(F.col("text"))
     pts = pages.select(
         "url",
         "warc_ts",
@@ -53,58 +53,85 @@ def geotagged_points(pages: DataFrame, zoom: int) -> DataFrame:
     )
 
 
-def _collect_feature_index(features: DataFrame, cover_ids: DataFrame):
+def _collect_feature_index(features: DataFrame, zoom: int):
     """Driver-side build of {tile_id: [feature_id]} + {feature_id: rings}.
 
     The 'R-tree' of the reference (/root/reference/robosat/spatial/core.py:80-100)
     becomes a tile-bucketed index: the cover expansion IS the spatial index,
-    and equi-join on tile_id replaces the bbox probe."""
+    and equi-join on tile_id replaces the bbox probe. One collect of the
+    (small) feature table, then the cover kernel runs IN the driver — no
+    Spark job, no Python-worker spin-up, ~ms instead of seconds of fixed
+    cost per query."""
+    from ..functions.tiles import pack_tile_id_py
+    from ..kernels.raster import cover_rings
+
     tile_map: dict[int, list[int]] = {}
-    for row in cover_ids.collect():
-        tile_map.setdefault(row["tile_id"], []).append(row["feature_id"])
-    rings_map = {
-        row["feature_id"]: [as_ring(r) for r in row["rings"]]
-        for row in features.select("feature_id", "rings").collect()
-    }
+    rings_map: dict[int, list] = {}
+    for row in features.select("feature_id", "rings").collect():
+        fid = row["feature_id"]
+        rings = [as_ring(r) for r in row["rings"]]
+        rings_map[fid] = rings
+        for x, y in cover_rings(rings, zoom):
+            tile_map.setdefault(pack_tile_id_py(zoom, int(x), int(y)), []).append(fid)
     return tile_map, rings_map
 
 
-def _refine_factory(bc_index):
-    """Arrow-batch PIP refine: for each batch, group points by candidate
-    feature and run the vectorized crossing-number kernel once per feature."""
+def _refine_matches(lon, lat, tids, tile_map, rings_map):
+    """Shared NumPy core: -> (row indices, feature ids) of PIP hits."""
+    out_idx, out_fid = [], []
+    order = np.argsort(tids, kind="stable")
+    sorted_tids = tids[order]
+    uniq = np.unique(sorted_tids)
+    starts = np.searchsorted(sorted_tids, uniq, side="left")
+    ends = np.searchsorted(sorted_tids, uniq, side="right")
+    for t, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+        fids = tile_map.get(t)
+        if not fids:
+            continue
+        rows = order[s:e]
+        for fid in fids:
+            inside = points_in_polygon(lon[rows], lat[rows], rings_map[fid])
+            hit = rows[inside]
+            if hit.size:
+                out_idx.append(hit)
+                out_fid.append(np.full(hit.size, fid, dtype=np.int64))
+    if not out_idx:
+        return None, None
+    return np.concatenate(out_idx), np.concatenate(out_fid)
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def _refine_factory(bc_index):
+    """Arrow-native PIP refine for ``mapInArrow``: numeric columns are read
+    zero-copy into NumPy, hits are materialized with ``RecordBatch.take``
+    (Arrow C++), and the url/warc_ts payload NEVER becomes Python objects.
+
+    This matters enormously at scale: the earlier pandas form turned every
+    url into a Python string object and back (15M allocations per 15M rows),
+    which saturated memory bandwidth — 32 workers ran no faster than 8.
+    The Arrow form keeps payload bytes in Arrow buffers end to end."""
+
+    def refine(batches):
+        import pyarrow as pa
+
         tile_map, rings_map = bc_index.value
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            n = len(pdf)
-            lon = pdf["lon"].to_numpy(dtype=np.float64)
-            lat = pdf["lat"].to_numpy(dtype=np.float64)
-            tids = pdf["tile_id"].to_numpy(dtype=np.int64)
-            out_idx, out_fid = [], []
-            # bucket rows by tile, then PIP per candidate feature
-            order = np.argsort(tids, kind="stable")
-            sorted_tids = tids[order]
-            uniq = np.unique(sorted_tids)
-            starts = np.searchsorted(sorted_tids, uniq, side="left")
-            ends = np.searchsorted(sorted_tids, uniq, side="right")
-            for t, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
-                fids = tile_map.get(t)
-                if not fids:
-                    continue
-                rows = order[s:e]
-                for fid in fids:
-                    inside = points_in_polygon(lon[rows], lat[rows], rings_map[fid])
-                    hit = rows[inside]
-                    if hit.size:
-                        out_idx.append(hit)
-                        out_fid.append(np.full(hit.size, fid, dtype=np.int64))
-            if out_idx:
-                idx = np.concatenate(out_idx)
-                res = pdf.iloc[idx][["url", "warc_ts", "lon", "lat", "tile_id"]].copy()
-                res["feature_id"] = np.concatenate(out_fid)
-                yield res
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            tids = batch.column("tile_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            idx, fids = _refine_matches(lon, lat, tids, tile_map, rings_map)
+            if idx is None:
+                continue
+            take = pa.array(idx)
+            # mapInArrow binds output columns POSITIONALLY to the declared
+            # schema — emit exactly the _ASSIGN_SCHEMA order
+            out_names = ["url", "warc_ts", "lon", "lat", "tile_id"]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(name).take(take) for name in out_names]
+                + [pa.array(fids, type=pa.int64())],
+                names=out_names + ["feature_id"],
+            )
 
     return refine
 
@@ -114,20 +141,30 @@ _ASSIGN_SCHEMA = (
 )
 
 
+def _tile_prefilter(spark: SparkSession, pts: DataFrame, tile_map: dict) -> DataFrame:
+    """JVM-side broadcast semi-join on the covered-tile set: kills every
+    point whose cell can't contain a feature BEFORE any shuffle or Arrow
+    transfer. At web scale most points are elsewhere (the world is sparse),
+    so this is the single biggest data-volume cut in the plan — the
+    filter half of filter-refine, kept inside whole-stage codegen."""
+    cover_tiles = spark.createDataFrame(
+        [(int(t),) for t in tile_map.keys()], "tile_id LONG"
+    )
+    return pts.join(F.broadcast(cover_tiles), "tile_id", "left_semi")
+
+
 def assign_broadcast(
     spark: SparkSession, pages: DataFrame, features: DataFrame, zoom: int
 ) -> DataFrame:
     """Broadcast filter-refine PIP assignment. No shuffle of pages.
 
-    Plan: scan -> regex/tile-encode (codegen) -> mapInPandas refine against
-    the broadcast tile index. The tile prefilter and the exact refine happen
-    in the same Arrow pass, so candidate rows never hit a shuffle."""
-    from .cover import cover_tile_ids
-
-    cover_ids = cover_tile_ids(features, zoom)
-    bc = spark.sparkContext.broadcast(_collect_feature_index(features, cover_ids))
-    pts = geotagged_points(pages, zoom)
-    return pts.mapInPandas(_refine_factory(bc), _ASSIGN_SCHEMA)
+    Plan: scan -> regex/tile-encode (codegen) -> broadcast semi-join
+    tile prefilter (JVM) -> mapInPandas exact refine against the broadcast
+    index. Candidate rows never hit a shuffle."""
+    index = _collect_feature_index(features, zoom)
+    bc = spark.sparkContext.broadcast(index)
+    pts = _tile_prefilter(spark, geotagged_points(pages, zoom), index[0])
+    return pts.mapInArrow(_refine_factory(bc), _ASSIGN_SCHEMA)
 
 
 def assign_salted(
@@ -144,14 +181,148 @@ def assign_salted(
     high for single tasks (hot-tile skew) and the downstream consumer
     benefits from cell-clustered output (e.g. a groupBy(tile) follows —
     the shuffle is then shared, not extra)."""
-    from .cover import cover_tile_ids
-
-    cover_ids = cover_tile_ids(features, zoom)
-    bc = spark.sparkContext.broadcast(_collect_feature_index(features, cover_ids))
-    pts = geotagged_points(pages, zoom)
+    index = _collect_feature_index(features, zoom)
+    bc = spark.sparkContext.broadcast(index)
+    pts = _tile_prefilter(spark, geotagged_points(pages, zoom), index[0])
     salted = pts.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(salt)).cast("int"))
     salted = salted.repartition(F.col("tile_id"), F.col("salt")).drop("salt")
-    return salted.mapInPandas(_refine_factory(bc), _ASSIGN_SCHEMA)
+    return salted.mapInArrow(_refine_factory(bc), _ASSIGN_SCHEMA)
+
+
+def _refine_group_counts(lon, lat, tids, tile_map, rings_map):
+    """Count variant of ``_refine_matches``: the per-(tile, feature) hit
+    counts fall out of the bucketing loop directly — no per-hit
+    materialization, no post-hoc unique/sort."""
+    out = []
+    order = np.argsort(tids, kind="stable")
+    sorted_tids = tids[order]
+    uniq = np.unique(sorted_tids)
+    starts = np.searchsorted(sorted_tids, uniq, side="left")
+    ends = np.searchsorted(sorted_tids, uniq, side="right")
+    for t, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+        fids = tile_map.get(t)
+        if not fids:
+            continue
+        rows = order[s:e]
+        for fid in fids:
+            n = int(np.count_nonzero(points_in_polygon(lon[rows], lat[rows], rings_map[fid])))
+            if n:
+                out.append((t, fid, n))
+    return out
+
+
+def _count_refine_factory(bc_index):
+    """Count-only PIP refine with MAP-SIDE COMBINE: each Arrow batch emits
+    one (tile_id, feature_id, n) row per hit group instead of one row per
+    hit. The aggregation-pushdown path for count readouts — output bytes
+    drop from O(hits) to O(distinct groups per batch), and no payload
+    column ever crosses the Arrow boundary."""
+
+    def refine(batches):
+        import pyarrow as pa
+
+        tile_map, rings_map = bc_index.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            tids = batch.column("tile_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            groups = _refine_group_counts(lon, lat, tids, tile_map, rings_map)
+            if not groups:
+                continue
+            t_arr, f_arr, n_arr = zip(*groups)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(t_arr, dtype=np.int64), type=pa.int64()),
+                    pa.array(np.asarray(f_arr, dtype=np.int64), type=pa.int64()),
+                    pa.array(np.asarray(n_arr, dtype=np.int64), type=pa.int64()),
+                ],
+                names=["tile_id", "feature_id", "n"],
+            )
+
+    return refine
+
+
+def assign_count_by_feature(
+    spark: SparkSession,
+    pages: DataFrame,
+    features: DataFrame,
+    zoom: int,
+    salt: int = 32,
+) -> DataFrame:
+    """-> (tile_id, feature_id, n_pages): the count readout of the flagship
+    join with aggregation pushed THROUGH the spatial refine.
+
+    Plan: scan -> geotag/encode (codegen) -> broadcast semi-join prefilter
+    -> project to the 3 numeric columns the count needs (Catalyst cannot
+    prune into a UDF, so the operator does it) -> salted repartition-by-cell
+    -> Arrow count-refine with map-side combine -> tiny final groupBy.
+    Shuffle and Arrow volumes drop ~4x vs the payload-carrying assign."""
+    index = _collect_feature_index(features, zoom)
+    bc = spark.sparkContext.broadcast(index)
+    pts = _tile_prefilter(spark, geotagged_points(pages, zoom), index[0])
+    slim = pts.select("lon", "lat", "tile_id")
+    # explicit partition count: AQE would otherwise coalesce this (now
+    # byte-light) exchange down to a handful of partitions and strand the
+    # compute-heavy refine on too few tasks
+    nparts = max(salt, spark.sparkContext.defaultParallelism * 2)
+    salted = slim.withColumn(
+        "salt", F.pmod(F.hash("lon", "lat"), F.lit(salt)).cast("int")
+    ).repartition(nparts, F.col("tile_id"), F.col("salt")).drop("salt")
+    partial = salted.mapInArrow(
+        _count_refine_factory(bc), "tile_id LONG, feature_id LONG, n LONG"
+    )
+    return partial.groupBy("tile_id", "feature_id").agg(F.sum("n").alias("n_pages"))
+
+
+def point_in_rings(px, py, rings):
+    """Even-odd point-in-polygon as a PURE COLUMN EXPRESSION: fold the
+    crossing-number test over every edge of every ring (holes included —
+    crossing parity over all rings IS the even-odd rule). Same convention
+    as kernels.geometry.points_in_polygon, but evaluated by whole-stage
+    codegen — no Python, no Arrow, vectorized by Tungsten."""
+
+    def ring_crossings(acc_r, ring):
+        idx = F.sequence(F.lit(0), F.size(ring) - F.lit(2))
+
+        def edge(acc, i):
+            p1 = F.element_at(ring, i + F.lit(1))
+            p2 = F.element_at(ring, i + F.lit(2))
+            xi, yi = p1.getItem(0), p1.getItem(1)
+            xj, yj = p2.getItem(0), p2.getItem(1)
+            crosses = ((yi > py) != (yj > py)) & (
+                px < (xj - xi) * (py - yi) / (yj - yi) + xi
+            )
+            return acc + F.when(crosses, F.lit(1)).otherwise(F.lit(0))
+
+        return acc_r + F.aggregate(idx, F.lit(0), edge)
+
+    total = F.aggregate(rings, F.lit(0), ring_crossings)
+    return total % 2 == 1
+
+
+def assign_jvm(
+    spark: SparkSession, pages: DataFrame, features: DataFrame, zoom: int
+) -> DataFrame:
+    """All-JVM PIP assignment: cover equi-join + codegen crossing-number.
+
+    Plan: scan -> geotag/tile-encode (codegen) -> broadcast hash join on
+    tile_id against the exploded (tile, feature, rings) cover table ->
+    ``point_in_rings`` filter — one JVM pipeline end-to-end, no shuffle of
+    pages, no Python workers. The fastest path when per-tile candidate
+    counts are modest (each candidate costs O(vertices) in codegen);
+    ``assign_salted`` remains the skew/shuffle-controlling variant."""
+    from .cover import cover_tile_ids
+
+    cand_feats = cover_tile_ids(features, zoom).join(
+        features.select("feature_id", "rings"), "feature_id"
+    )
+    pts = geotagged_points(pages, zoom)
+    cand = pts.join(F.broadcast(cand_feats), "tile_id")
+    return cand.filter(
+        point_in_rings(F.col("lon"), F.col("lat"), F.col("rings"))
+    ).select("url", "warc_ts", "lon", "lat", "tile_id", "feature_id")
 
 
 def assign_counts_per_tile(assigned: DataFrame) -> DataFrame:

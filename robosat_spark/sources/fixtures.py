@@ -146,6 +146,40 @@ def features(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(build_feature_rows(), FEATURE_SCHEMA)
 
 
+def dense_polygon_features(
+    spark: SparkSession,
+    n: int = 400,
+    vertices: int = 128,
+    grid: int = 20,
+    radius: float = 0.0011,
+) -> DataFrame:
+    """Deterministic dense-vertex polygons (circle approximations) tiling
+    the parking bbox — the realistic big-join feature side: building/road
+    polygons at web scale have hundreds of vertices, so the PIP refine is
+    compute-dense (O(vertices) per candidate), unlike the 5-point oracle
+    rects. Used by the scaling benchmark."""
+    rows = []
+    lon_span = (LON1_B := -82.80) - (LON0_B := -82.84)
+    lat_span = (LAT1_B := 34.69) - (LAT0_B := 34.66)
+    ang = np.linspace(0.0, 2.0 * np.pi, vertices, endpoint=False)
+    for k in range(n):
+        gx, gy = k % grid, (k // grid) % grid
+        cx = LON0_B + (gx + 0.5) / grid * lon_span
+        cy = LAT0_B + (gy + 0.5) / grid * lat_span
+        r = radius * (0.6 + 0.4 * ((k * 2654435761) % 1000) / 1000.0)
+        ring = np.column_stack([cx + r * np.cos(ang), cy + 0.75 * r * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        bbox = (
+            float(ring[:, 0].min()), float(ring[:, 1].min()),
+            float(ring[:, 0].max()), float(ring[:, 1].max()),
+        )
+        rows.append(
+            (1000 + k, "Polygon", 1000 + k, [[list(map(float, p)) for p in ring]],
+             bbox, {"src": "dense"})
+        )
+    return spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+
 def tiles(spark: SparkSession, which: str = "parking") -> DataFrame:
     rows = PARKING_TILES_CSV if which == "parking" else TILES_CSV
     return spark.createDataFrame(rows, "x INT, y INT, z INT")

@@ -1,0 +1,90 @@
+"""Structured-Streaming ingest for the pages table (SURVEY.md §2.10).
+
+The reference is strictly batch; its nearest streaming analogs are the
+on-demand tile server (/root/reference/robosat/tools/serve.py:24-34) and
+skip-if-exists incremental reruns (/root/reference/robosat/tools/download.py:48-49).
+The engine extension: a file-source stream over a pages directory with
+
+- a watermark on ``warc_ts`` to bound state for late data,
+- ``dropDuplicates`` on (url) within the watermark — the streaming analog
+  of the latest-snapshot/as-of dedup,
+- the SAME geotag-extraction + tile-encode expressions as the batch path
+  (they are pure Column expressions, so batch/stream parity is free), and
+- tumbling-window page counts per tile.
+
+Tests drive it with ``trigger(availableNow=True)`` so the stream drains the
+directory and stops — deterministic, and the results must equal the batch
+computation on the same files (checked in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_SCHEMA = (
+    "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
+)
+
+
+def streaming_pages(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """readStream over a parquet pages directory."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_latest_snapshot(pages: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Drop re-crawled duplicates of the same url arriving within the
+    watermark (state is bounded by the watermark horizon)."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+
+
+def streaming_tile_counts(
+    pages: DataFrame,
+    zoom: int = 12,
+    window: str = "1 hour",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Geotag -> tile encode -> tumbling-window counts per tile.
+
+    Reuses the exact batch expressions (spatial_join.geotagged_points is
+    batch-only because of mapInPandas downstream; the extraction/encode
+    columns themselves are engine-shared)."""
+    from ..functions.tiles import geotag_lat, geotag_lon, pack_tile_id, tile_x, tile_y
+
+    lon = geotag_lon(F.col("text"))
+    lat = geotag_lat(F.col("text"))
+    pts = (
+        pages.withWatermark("warc_ts", watermark)
+        .select("url", "warc_ts", lon.alias("lon"), lat.alias("lat"))
+        .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+        .withColumn(
+            "tile_id", pack_tile_id(zoom, tile_x(F.col("lon"), zoom), tile_y(F.col("lat"), zoom))
+        )
+    )
+    return (
+        pts.groupBy(F.window("warc_ts", window).alias("w"), F.col("tile_id"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("bucket"), "tile_id", "n_pages")
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str = "q", mode: str = "append"
+):
+    """Drain the stream into an in-memory table and stop (test/dev helper;
+    production uses a parquet/Iceberg sink with the same checkpointing).
+    Use mode='complete' for windowed aggregations so state pending behind
+    the watermark is still emitted when the drain terminates."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,69 @@
+"""Multimodal binary-column plumbing: sniffing, decode stub, resize."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from robosat_spark.functions.multimodal import (
+    decode_images,
+    fake_decode_bytes,
+    media_meta,
+    resize_decoded,
+    sample_frames,
+    sniff_format,
+)
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\0" * 24
+JPeg = b"\xff\xd8\xff\xe0" + b"\0" * 24
+WEBP = b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"\0" * 16
+WAV = b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"\0" * 16
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [("a", PNG), ("b", JPeg), ("c", WEBP), ("d", WAV), ("e", b"<html><body>x</body></html>")]
+    return spark.createDataFrame(rows, "url STRING, data BINARY")
+
+
+def test_sniff_format(spark, media):
+    got = {r["url"]: r["fmt"] for r in media.select("url", sniff_format(F.col("data")).alias("fmt")).collect()}
+    assert got == {"a": "png", "b": "jpeg", "c": "webp", "d": "wav", "e": "html"}
+
+
+def test_media_meta_struct(spark, media):
+    row = media.filter(F.col("url") == "a").select(media_meta(F.col("data")).alias("m")).collect()[0]["m"]
+    assert row["format"] == "png" and row["n_bytes"] == len(PNG)
+
+
+def test_decode_stub_raises_without_fake(spark, media):
+    from py4j.protocol import Py4JJavaError
+
+    df = decode_images(media, key_col="url", data_col="data", fake=False)
+    with pytest.raises(Exception) as ei:
+        df.count()
+    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+
+
+def test_fake_decode_deterministic_and_resize(spark, media):
+    decoded = decode_images(media, key_col="url", data_col="data", h=32, w=48, fake=True)
+    rows = {r["key"]: r for r in decoded.collect()}
+    assert set(rows) == {"a", "b", "c", "d", "e"}
+    assert all(r["h"] == 32 and r["w"] == 48 and r["channels"] == 1 for r in rows.values())
+    # determinism: same payload -> same pixels (local kernel == cluster result)
+    local = fake_decode_bytes(PNG, 32, 48, 1)
+    assert bytes(rows["a"]["pixels"]) == local.tobytes()
+
+    resized = resize_decoded(decoded, 16, 16)
+    r = {x["key"]: x for x in resized.collect()}["a"]
+    grid = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(16, 16, 1)
+    yi = (np.arange(16) * 32 // 16).astype(int)
+    xi = (np.arange(16) * 48 // 16).astype(int)
+    assert np.array_equal(grid, local[yi[:, None], xi[None, :], :])
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([(100,), (1,), (0,)], "n INT")
+    got = [r["f"] for r in df.select(sample_frames(F.col("n"), every=30).alias("f")).collect()]
+    assert got[0] == [0, 30, 60, 90]
+    assert got[1] == [0]
+    assert got[2] == [0]
