@@ -322,6 +322,23 @@ def _q_dedup_simhash(spark, sf_dir):
     return docs.select("doc_id", simhash(F.col("text"), bits=32).alias("simhash"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components (iterative min-label
+    propagation, R3) over the MinHash-LSH pair graph — cluster id = min
+    doc_id reachable. Oracle: DuckDB recursive CTE."""
+    from robosat_spark.operators.components import connected_components
+    from robosat_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=3, num_perm=32, threshold=0.3)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    self_loops = docs.select(
+        F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
+    )
+    labels = connected_components(edges.unionByName(self_loops))
+    return labels.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN: deterministic coarse quantizer (first 16 vectors), nprobe=4,
     top-5 within the probed cells — the bucketed scale path vs ann_cosine."""
@@ -397,6 +414,49 @@ def _q_mask_vectorize(spark, sf_dir):
     )
 
 
+def _q_halo_stitch(spark, sf_dir):
+    """J6/G22 halo exchange over rasterized oracle-rect masks: stitch each
+    tile with its 8 neighbors, report nonzero-pixel share of the halo grid.
+    Non-SQL (raster) — rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    from robosat_spark.operators.cover import cover
+    from robosat_spark.operators.halo import stitch_halo
+    from robosat_spark.operators.rasterize import rasterize_masks
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+
+    ft = oracle_rect_features(spark).limit(1)
+    tiles = cover(ft, zoom=12).select("x", "y").limit(16)
+    masks = rasterize_masks(spark, tiles, ft, zoom=12, size=128)
+    halo = stitch_halo(spark, masks, overlap=16)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = np.frombuffer(r["data"], dtype=np.uint8)
+                rows.append((r["x"], r["y"], int(np.count_nonzero(g))))
+            if rows:
+                yield pd.DataFrame(rows, columns=["x", "y", "nonzero"])
+
+    return halo.mapInPandas(gen, "x LONG, y LONG, nonzero LONG")
+
+
+def _q_class_weights(spark, sf_dir):
+    """A2/A3 class histogram + 1/ln(1.02+p) weights over rasterized masks.
+    Non-SQL (raster) — rows-only check."""
+    from robosat_spark.operators.cover import cover
+    from robosat_spark.operators.rasterize import rasterize_masks
+    from robosat_spark.operators.weights import class_histogram, class_weights
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+
+    ft = oracle_rect_features(spark).limit(1)
+    tiles = cover(ft, zoom=12).select("x", "y").limit(16)
+    masks = rasterize_masks(spark, tiles, ft, zoom=12, size=128)
+    return class_weights(class_histogram(masks, num_classes=2))
+
+
 def _q_feature_merge(spark, sf_dir):
     """rs merge e2e on the fixture cluster: adjacency join + connected
     components + per-component union. Non-SQL — rows-only check."""
@@ -443,10 +503,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover": _q_cover,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_ivf": _q_ann_ivf,
         "quality_score": _q_quality_score,
         "doc_fingerprint_rolling": _q_doc_fingerprint_rolling,
         "mask_vectorize": _q_mask_vectorize,
+        "halo_stitch": _q_halo_stitch,
+        "class_weights": _q_class_weights,
         "feature_merge": _q_feature_merge,
         "dedupe_iou": _q_dedupe_iou,
     }
@@ -665,6 +728,22 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dedup_simhash"] = f"""
         SELECT doc_id, {simhash_sql(32)} AS simhash FROM documents
+    """
+
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE sh AS (SELECT doc_id, {shg} AS sh FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS s, b.doc_id AS d
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE {jac} >= 0.3
+        ),
+        edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+        walk(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node
+        )
+        SELECT node AS doc_id, MIN(lbl) AS cluster FROM walk GROUP BY node
     """
 
     sql["ann_ivf"] = """

@@ -1,0 +1,72 @@
+"""Sinks (K1-K5): CSV tiles, GeoJSON features, slippy-map grids.
+
+The reference writes one file per tool run; the engine writes partitioned
+datasets (one file per task IS the reference's FeatureStorage batching,
+/root/reference/robosat/osm/core.py:7-41) plus small driver-side collectors
+for golden-file parity with the reference's single-file outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_tiles_csv(tiles: DataFrame, path: str) -> None:
+    """K1: (x, y, z) rows -> CSV dataset (cover.py:35-37)."""
+    tiles.select("x", "y", "z").write.mode("overwrite").csv(path)
+
+
+def feature_json_col(rings=None, props=None):
+    """Column expression rendering one feature row as a GeoJSON Feature
+    string (JVM ``to_json``), for distributed JSONL feature sinks."""
+    rings = F.col("rings") if rings is None else rings
+    props = F.col("props") if props is None else props
+    return F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Polygon").alias("type"), rings.alias("coordinates")
+            ).alias("geometry"),
+            props.alias("properties"),
+        )
+    )
+
+
+def write_features_jsonl(features: DataFrame, path: str) -> None:
+    """K2: distributed GeoJSON-feature JSONL sink — one file per partition
+    is the batched FeatureStorage; task-attempt naming is the uuid suffix."""
+    features.select(feature_json_col().alias("value")).write.mode("overwrite").text(path)
+
+
+def collect_feature_collection(features: DataFrame, order_by=("feature_id",)) -> dict:
+    """K3: driver-side single FeatureCollection (merge.py:86-89 parity) —
+    deterministic order for golden-file comparison."""
+    rows = features.orderBy(*order_by).select(feature_json_col().alias("j")).collect()
+    return {
+        "type": "FeatureCollection",
+        "features": [json.loads(r["j"]) for r in rows],
+    }
+
+
+def save_feature_collection(features: DataFrame, path: str, order_by=("feature_id",)) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(collect_feature_collection(features, order_by), f)
+
+
+def write_slippy_grids(masks: DataFrame, root: str) -> None:
+    """K4: slippy-map sink. The reference writes z/x/y.png via PIL
+    (rasterize.py:126-140); PNG codecs are absent here, so the engine-native
+    layout is parquet partitioned by (z, x) — the same z/x/ directory
+    convention, binary grid payloads, column-pruned reads for free. A PNG
+    export shim belongs at the edge (decode stub pattern,
+    functions.multimodal)."""
+    masks.write.mode("overwrite").partitionBy("z", "x").parquet(root)
+
+
+def read_slippy_grids(spark, root: str) -> DataFrame:
+    return spark.read.parquet(root)
