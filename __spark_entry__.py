@@ -355,6 +355,63 @@ def _q_ann_ivf(spark, sf_dir):
     return out.select("query_id", "item_id", "rank", F.round("sim", 6).alias("sim"))
 
 
+_WAY_CLASSES = [
+    "motorway", "trunk", "primary", "secondary", "tertiary", "unclassified",
+    "residential", "service", "motorway_link", "trunk_link", "primary_link",
+    "secondary_link", "tertiary_link", "footway", "path", "track",
+]
+
+
+def _ways_view(spark, sf_dir):
+    """Deterministic ways-analog over events: tags derived from props.k and
+    event_id, including unparseable lanes/width values that exercise the
+    try_cast fallbacks (road.py:116-138)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    i = F.col("event_id")
+    highway = F.element_at(
+        F.array(*[F.lit(c) for c in _WAY_CLASSES]), (k % 16).cast("int") + 1
+    )
+    oneway = F.when(
+        i % 3 == 0, F.when(i % 6 == 0, F.lit("yes")).otherwise(F.lit("no"))
+    )
+    lanes_tag = F.when(
+        k % 5 == 0,
+        F.when(k % 25 == 0, F.lit("x")).otherwise((k % 9 - 1).cast("string")),
+    )
+    width_tag = F.when(
+        k % 7 == 0,
+        F.when(k % 21 == 0, F.lit("w m")).otherwise(
+            F.format_string("%.1f", F.lit(0.5) * (k % 30).cast("double"))
+        ),
+    )
+    return ev.select(
+        "event_id",
+        highway.alias("highway"),
+        oneway.alias("oneway"),
+        lanes_tag.alias("lanes_tag"),
+        width_tag.alias("width_tag"),
+    )
+
+
+def _q_road_widths(spark, sf_dir):
+    """F4 highway whitelist + G7 width derivation (try_cast fallbacks) —
+    the reference's RoadHandler re-expressed as pure column expressions."""
+    from robosat_spark.functions.roads import is_road, road_width_m
+
+    ways = _ways_view(spark, sf_dir)
+    return ways.filter(is_road(F.col("highway"))).select(
+        "event_id",
+        "highway",
+        F.round(
+            road_width_m(
+                F.col("highway"), F.col("oneway"), F.col("lanes_tag"), F.col("width_tag")
+            ),
+            6,
+        ).alias("width_m"),
+    )
+
+
 def _q_quality_score(spark, sf_dir):
     """Composite document-quality score (length/alpha/punct/stopword)."""
     from robosat_spark.functions.text import quality_score, stopword_ratio
@@ -468,6 +525,28 @@ def _q_feature_merge(spark, sf_dir):
     return merged.select("component", "n_members", F.round("area_m2", 0).alias("area_m2"))
 
 
+def _q_seg_metrics(spark, sf_dir):
+    """P1+P2+A4 e2e: rasterize truth, synthesize two noisy 'model'
+    probability sets, soft-vote them back to masks, score vs truth
+    (tn/fn/fp/tp + mIoU/fgIoU/MCC). Non-SQL (raster) — rows-only check."""
+    from robosat_spark.operators.cover import cover
+    from robosat_spark.operators.ensemble import (
+        confusion_counts,
+        segmentation_metrics,
+        soft_vote,
+    )
+    from robosat_spark.operators.rasterize import rasterize_masks, synthesize_probs
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+
+    ft = oracle_rect_features(spark).limit(1)
+    tiles = cover(ft, zoom=12).select("x", "y").limit(16)
+    truth = rasterize_masks(spark, tiles, ft, zoom=12, size=128)
+    probs_a = synthesize_probs(truth, noise=0.02)
+    probs_b = synthesize_probs(truth, noise=0.02)
+    voted = soft_vote([probs_a, probs_b], [1.0, 1.0])
+    return segmentation_metrics(confusion_counts(voted, truth))
+
+
 def _q_dedupe_iou(spark, sf_dir):
     """rs dedupe e2e on the fixture IoU pairs: cell join + intersects +
     raster IoU threshold. Non-SQL — rows-only check."""
@@ -506,10 +585,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "ann_ivf": _q_ann_ivf,
         "quality_score": _q_quality_score,
+        "road_widths": _q_road_widths,
         "doc_fingerprint_rolling": _q_doc_fingerprint_rolling,
         "mask_vectorize": _q_mask_vectorize,
         "halo_stitch": _q_halo_stitch,
         "class_weights": _q_class_weights,
+        "seg_metrics": _q_seg_metrics,
         "feature_merge": _q_feature_merge,
         "dedupe_iou": _q_dedupe_iou,
     }
@@ -744,6 +825,50 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node
         )
         SELECT node AS doc_id, MIN(lbl) AS cluster FROM walk GROUP BY node
+    """
+
+    from robosat_spark.functions.roads import HIGHWAY_ATTRIBUTES
+
+    hw_case = lambda idx: "CASE " + " ".join(  # noqa: E731
+        f"WHEN highway = '{name}' THEN {attrs[idx]!r}" for name, attrs in HIGHWAY_ATTRIBUTES.items()
+    ) + " END"
+    classes_arr = ", ".join(f"'{c}'" for c in _WAY_CLASSES)
+    road_names = ", ".join(f"'{n}'" for n in HIGHWAY_ATTRIBUTES)
+    sql["road_widths"] = f"""
+        WITH ways AS (
+          SELECT event_id,
+                 ([{classes_arr}])[(json_extract_string(props, '$.k')::INT % 16) + 1] AS highway,
+                 CASE WHEN event_id % 3 = 0 THEN
+                      CASE WHEN event_id % 6 = 0 THEN 'yes' ELSE 'no' END END AS oneway,
+                 CASE WHEN json_extract_string(props, '$.k')::INT % 5 = 0 THEN
+                      CASE WHEN json_extract_string(props, '$.k')::INT % 25 = 0 THEN 'x'
+                           ELSE CAST(json_extract_string(props, '$.k')::INT % 9 - 1 AS VARCHAR) END
+                 END AS lanes_tag,
+                 CASE WHEN json_extract_string(props, '$.k')::INT % 7 = 0 THEN
+                      CASE WHEN json_extract_string(props, '$.k')::INT % 21 = 0 THEN 'w m'
+                           ELSE printf('%.1f', 0.5 * (json_extract_string(props, '$.k')::INT % 30)) END
+                 END AS width_tag
+          FROM events
+        ),
+        d AS (
+          SELECT event_id, highway, oneway, lanes_tag, width_tag,
+                 {hw_case(0)} AS base_lanes, {hw_case(1)} AS lane_width,
+                 {hw_case(2)} AS lsh, {hw_case(3)} AS rsh
+          FROM ways WHERE highway IN ({road_names})
+        ),
+        l AS (
+          SELECT *,
+                 CASE WHEN lanes_tag IS NOT NULL AND TRY_CAST(lanes_tag AS INT) IS NOT NULL
+                      THEN GREATEST(TRY_CAST(lanes_tag AS INT)::DOUBLE, 1.0)
+                      WHEN oneway IS NULL OR oneway = 'no' THEN base_lanes * 2
+                      ELSE base_lanes END AS lanes_eff
+          FROM d
+        )
+        SELECT event_id, highway,
+               ROUND(CASE WHEN width_tag IS NOT NULL AND TRY_CAST(width_tag AS DOUBLE) IS NOT NULL
+                          THEN GREATEST(TRY_CAST(width_tag AS DOUBLE), 1.0)
+                          ELSE lsh + lane_width * lanes_eff + rsh END, 6) AS width_m
+        FROM l
     """
 
     sql["ann_ivf"] = """
