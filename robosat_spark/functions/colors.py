@@ -1,0 +1,43 @@
+"""Class palette / color mapping (G26 — presentation edge, not an engine op).
+
+Parity with /root/reference/robosat/colors.py:45-95: named class colors and
+a continuous HSV saturation ramp for probability visualization. Pure
+functions usable driver-side or inside export UDFs.
+"""
+
+from __future__ import annotations
+
+import colorsys
+
+# name -> RGB, the reference's Tableau-ish palette subset it uses for masks
+COLORS = {
+    "white": (255, 255, 255),
+    "denim": (48, 96, 176),
+    "orange": (255, 127, 14),
+    "green": (44, 160, 44),
+    "red": (214, 39, 40),
+    "purple": (148, 103, 189),
+    "grey": (127, 127, 127),
+    "pink": (227, 119, 194),
+}
+
+
+def class_palette(class_colors: list[str]) -> list[int]:
+    """Class index -> flat palette list [r0,g0,b0, r1,g1,b1, ...] (the
+    P-mode PNG palette layout the reference writes)."""
+    flat: list[int] = []
+    for name in class_colors:
+        flat.extend(COLORS[name])
+    return flat
+
+
+def continuous_palette_for_color(name: str, bins: int = 256) -> list[int]:
+    """Saturation ramp of one base color across ``bins`` entries — the
+    probability-raster palette (colors.py:70-95)."""
+    r, g, b = (v / 255.0 for v in COLORS[name])
+    h, s, v = colorsys.rgb_to_hsv(r, g, b)
+    flat: list[int] = []
+    for i in range(bins):
+        rr, gg, bb = colorsys.hsv_to_rgb(h, (i + 1) / bins * s, v)
+        flat.extend([round(rr * 255), round(gg * 255), round(bb * 255)])
+    return flat

@@ -67,7 +67,10 @@ def ann_ivf(
     )
 
     cand = (
-        probes.join(assigned, "centroid_id")
+        # probes is (queries x nprobe) rows — broadcast it against the big
+        # assigned corpus; with the corpus written bucketed by centroid_id
+        # this probe join also prunes partitions
+        assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("item_id") != F.col("query_id"))
         .withColumn("sim", cosine_sim(F.col("vec"), F.col("qvec")))
     )

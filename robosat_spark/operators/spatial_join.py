@@ -316,13 +316,20 @@ def assign_jvm(
     from .cover import cover_tile_ids
 
     cand_feats = cover_tile_ids(features, zoom).join(
-        features.select("feature_id", "rings"), "feature_id"
+        F.broadcast(features.select("feature_id", "rings")), "feature_id"
     )
     pts = geotagged_points(pages, zoom)
-    cand = pts.join(F.broadcast(cand_feats), "tile_id")
-    return cand.filter(
-        point_in_rings(F.col("lon"), F.col("lat"), F.col("rings"))
-    ).select("url", "warc_ts", "lon", "lat", "tile_id", "feature_id")
+    # PIP inside the join condition + explicit broadcast hint on the small
+    # side: one BroadcastHashJoin with the exact predicate, never a
+    # sort-merge of the big point side
+    cand = pts.join(
+        cand_feats.hint("broadcast"),
+        (pts["tile_id"] == cand_feats["tile_id"])
+        & point_in_rings(pts["lon"], pts["lat"], cand_feats["rings"]),
+    )
+    return cand.select(
+        "url", "warc_ts", "lon", "lat", pts["tile_id"].alias("tile_id"), "feature_id"
+    )
 
 
 def assign_counts_per_tile(assigned: DataFrame) -> DataFrame:
