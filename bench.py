@@ -100,9 +100,12 @@ def main():
         "tile_adjacency",
         "latest_event_per_user",
         "sessionize",
+        "pip_assign_jvm",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_clusters",
+        "road_widths",
         "token_stats",
         "lang_id",
         "quality_score",
