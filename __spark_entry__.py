@@ -143,6 +143,30 @@ def _q_tile_encode(spark, sf_dir):
     )
 
 
+def _q_cell_encode(spark, sf_dir):
+    """Cell-id family (north-star 'H3/S2-style cell encoding'): packed
+    tile id, Bing quadkey, Z-order Morton code per geotagged page at z12 —
+    all unrolled JVM bit arithmetic."""
+    from robosat_spark.functions.tiles import (
+        morton_cell,
+        quadkey,
+        unpack_tile_x,
+        unpack_tile_y,
+    )
+    from robosat_spark.operators.spatial_join import geotagged_points
+    from robosat_spark.sources.pages import pages_from_events
+
+    pts = geotagged_points(pages_from_events(spark, sf_dir), zoom=12)
+    x = unpack_tile_x(F.col("tile_id"))
+    y = unpack_tile_y(F.col("tile_id"))
+    return pts.select(
+        "url",
+        "tile_id",
+        quadkey(x, y, 12).alias("qk"),
+        morton_cell(x, y, 12).alias("morton"),
+    )
+
+
 def _q_tile_adjacency(spark, sf_dir):
     """J6 tile-adjacency self-join: count occupied neighbor pairs among
     the distinct z12 tiles of the geotagged points."""
@@ -570,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "tile_encode": _q_tile_encode,
         "tile_adjacency": _q_tile_adjacency,
+        "cell_encode": _q_cell_encode,
         "pip_assign": _q_pip_assign,
         "knn": _q_knn,
         "dedup_exact": _q_dedup_exact,
@@ -705,6 +730,32 @@ def oracle_sql() -> dict[str, str]:
         FROM tiles a JOIN tiles b
           ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
          AND (a.x != b.x OR a.y != b.y)
+    """
+
+    # quadkey: per-level digit concat; morton: bit-spread interleave — the
+    # same unrolled formulas as functions.tiles, as SQL text
+    qk_digits = " || ".join(
+        f"CAST(((tx >> {lvl - 1}) & 1) + 2 * ((ty >> {lvl - 1}) & 1) AS VARCHAR)"
+        for lvl in range(12, 0, -1)
+    )
+
+    def spread_sql(v):
+        masks = [
+            (16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]
+        e = f"({v} & 4294967295)"
+        for shift, mask in masks:
+            e = f"(({e} | ({e} << {shift})) & {mask})"
+        return e
+
+    sql["cell_encode"] = f"""
+        SELECT url, ((CAST(12 AS BIGINT) << 58) | (tx << 29) | ty) AS tile_id,
+               {qk_digits} AS qk,
+               ({spread_sql("tx")} | ({spread_sql("ty")} << 1)) AS morton
+        FROM (SELECT url, {tx12} AS tx, {ty12} AS ty
+              FROM ({_PAGES}) WHERE lon IS NOT NULL AND lat IS NOT NULL)
     """
 
     rect_cases = " ".join(
