@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from .geometry import open_ring
-from .mercator import lonlat_to_tile
+
 
 
 def rasterize_rings(rings, width: int, height: int, transform) -> np.ndarray:

@@ -23,10 +23,8 @@ Both refine with the same NumPy kernel; results are identical.
 
 from __future__ import annotations
 
-from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

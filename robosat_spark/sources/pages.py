@@ -129,6 +129,14 @@ def pages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_table(spark: SparkSession, name: str) -> DataFrame:
+    """Production input path: a catalog table (Iceberg at deployment — the
+    connector jar is environment-provided; in this sandbox any registered
+    table/view with the pages schema). Downstream operators are identical:
+    they see a DataFrame with (url, warc_ts, html, text, lang)."""
+    return spark.read.table(name)
+
+
 ORACLE_PAGES_SQL = f"""
 SELECT
   printf('https://example.org/e/%08d', event_id) AS url,

@@ -1,0 +1,102 @@
+"""Skew-handling evidence (north_rule) + checkpointed pipeline e2e."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_hot_tile_exists_and_salting_balances(spark):
+    """The pages fixture plants ~50% of bbox points in one z18 tile
+    (SURVEY.md §7 'deliberately skewed fixture'); the salted repartition
+    must spread that tile across many tasks."""
+    from robosat_spark.operators.spatial_join import geotagged_points
+    from robosat_spark.sources.pages import pages
+
+    pts = geotagged_points(pages(spark, 20000), 18)
+    top = (
+        pts.groupBy("tile_id").count().orderBy(F.col("count").desc()).limit(1).collect()[0]
+    )
+    total = pts.count()
+    # the planted hot window concentrates ~36% of points over 1-2 z18 tiles
+    assert top["count"] / total > 0.2
+
+    salt = 16
+    salted = pts.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salt)).cast("int")
+    ).repartition(salt * 2, F.col("tile_id"), F.col("salt"))
+    sizes = (
+        salted.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    # without salting the hot tile would put >25% of rows in ONE partition;
+    # with salting the max partition holds a small multiple of the mean
+    assert max(counts) < 4 * (sum(counts) / len(counts))
+    assert max(counts) / total < 0.15
+
+
+def test_pages_table_catalog_path(spark):
+    from robosat_spark.operators.spatial_join import assign_broadcast
+    from robosat_spark.sources.fixtures import features
+    from robosat_spark.sources.pages import pages, pages_table
+
+    pages(spark, 2000).createOrReplaceTempView("pages_v")
+    pg = pages_table(spark, "pages_v")
+    assert pg.columns == ["url", "warc_ts", "html", "text", "lang"]
+    out = assign_broadcast(spark, pg, features(spark), zoom=16)
+    assert out.count() > 0
+
+
+def test_checkpointed_mask_pipeline_resume(spark, tmp_path):
+    """cover -> rasterize -> synth-probs -> vectorize through the Pipeline
+    runner: rerun after losing the last stage reuses the earlier stages."""
+    from robosat_spark.operators.cover import cover
+    from robosat_spark.operators.features import extract_features
+    from robosat_spark.operators.rasterize import (
+        probs_to_masks,
+        rasterize_masks,
+        synthesize_probs,
+    )
+    from robosat_spark.plans import Pipeline, stage_metrics
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+
+    root = str(tmp_path / "job")
+    ft = oracle_rect_features(spark).limit(1)
+
+    def run():
+        p = Pipeline(spark, root)
+        tiles = p.stage(
+            "tiles", lambda: cover(ft, zoom=12).select("x", "y").limit(8), upstream=[]
+        )
+        masks = p.stage(
+            "masks",
+            lambda: rasterize_masks(spark, tiles, ft, zoom=12, size=128),
+            upstream=["tiles"],
+        )
+        pred = p.stage(
+            "pred",
+            lambda: probs_to_masks(synthesize_probs(masks, noise=0.01)),
+            upstream=["masks"],
+        )
+        feats = p.stage(
+            "features",
+            lambda: extract_features(pred, denoise_px=8, grow_px=8).drop("rings"),
+            upstream=["pred"],
+        )
+        return p, feats
+
+    p1, feats1 = run()
+    n1 = feats1.count()
+    assert n1 > 0
+    assert all(p1.ran.values())
+
+    p1.invalidate("features")
+    p2, feats2 = run()
+    assert p2.ran == {"tiles": False, "masks": False, "pred": False, "features": True}
+    assert feats2.count() == n1
+
+    m = stage_metrics(spark, root)
+    per_stage = {r["stage"]: r["rows"] for r in m.groupBy("stage").agg(
+        F.sum("rows").alias("rows")).select(F.col("stage"), F.col("rows")).collect()}
+    assert per_stage["tiles"] == 8 and per_stage["masks"] == 8 and per_stage["pred"] == 8
+    assert per_stage["features"] == n1
