@@ -584,6 +584,73 @@ def _q_dedupe_iou(spark, sf_dir):
     return verdicts.select("pred_id", F.round("iou", 2).alias("iou"), "keep")
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs at test scale; the
+    hyperplane-LSH bucket path in functions.vectors is the 100TB prefilter,
+    recall-tested in tests/)."""
+    from robosat_spark.functions.vectors import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "sim", cosine_sim(F.col("v_a"), F.col("v_b"))
+    )
+    return pairs.filter(F.col("sim") >= 0.4).select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
+    )
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: hamming distance over the 32-bit signatures
+    via xor + bit_count — all JVM, exact DuckDB twin."""
+    from robosat_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", simhash(F.col("text"), 32).alias("sh")).localCheckpoint(
+        eager=False
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).withColumn(
+        "hd", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    )
+    return pairs.filter(F.col("hd") <= 2).select("doc_a", "doc_b", "hd")
+
+
+def _q_sessionize_gaps(spark, sf_dir):
+    """Gap-based sessionization (§2.9 windows: lag + running sum): a new
+    session starts when > 30 min passes between a user's events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _q_rollup_events(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets surface the reference lacks):
+    event counts by (event_type, day) with subtotals and grand total."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.withColumn("day", F.to_date("ts"))
+    return (
+        d.rollup("event_type", "day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select("event_type", "day", "n", "sum_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -592,6 +659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": _q_anti_join,
         "latest_event_per_user": _q_latest_event_per_user,
         "sessionize": _q_sessionize,
+        "sessionize_gaps": _q_sessionize_gaps,
+        "rollup_events": _q_rollup_events,
+        "embedding_neardup": _q_embedding_neardup,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "tile_encode": _q_tile_encode,
         "tile_adjacency": _q_tile_adjacency,
         "cell_encode": _q_cell_encode,
@@ -712,6 +783,47 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """
+
+    sql["sessionize_gaps"] = """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
+    """
+
+    sql["rollup_events"] = """
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        GROUP BY ROLLUP (event_type, day)
+    """
+
+    sql["embedding_neardup"] = """
+        WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT id_a, id_b, ROUND(sim, 6) AS sim
+        FROM (SELECT a.id AS id_a, b.id AS id_b, list_cosine_similarity(a.v, b.v) AS sim
+              FROM v a JOIN v b ON a.id < b.id)
+        WHERE sim >= 0.4
+    """
+
+    sql["dedup_simhash_pairs"] = f"""
+        WITH s AS (SELECT doc_id, {simhash_sql(32)} AS sh FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sh, b.sh)) AS hd
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 2
     """
 
     sql["tile_encode"] = f"""

@@ -100,6 +100,10 @@ def main():
         "tile_adjacency",
         "latest_event_per_user",
         "sessionize",
+        "sessionize_gaps",
+        "rollup_events",
+        "embedding_neardup",
+        "dedup_simhash_pairs",
         "pip_assign_jvm",
         "dedup_exact",
         "dedup_minhash_lsh",
@@ -124,7 +128,7 @@ def main():
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # flagship e2e throughput: assigned join rows / sec
+    # flagship e2e on the sf tables (correctness-scale; warmup-dominated)
     from robosat_spark.operators.spatial_join import assign_broadcast
     from robosat_spark.sources.oracle_features import oracle_rect_features
     from robosat_spark.sources.pages import pages_from_events
@@ -133,9 +137,18 @@ def main():
     pg = pages_from_events(spark, sf_dir)
     ft = oracle_rect_features(spark)
     assigned = assign_broadcast(spark, pg, ft, zoom=7)
-    joined_rows = assigned.count()
+    assigned.count()
+    timings["flagship_e2e"] = round(time.perf_counter() - t0, 3)
+
+    # headline throughput: the salted flagship at a size where parallelism
+    # dominates JVM fixed costs (input parquet generated once, then reused)
+    headline_n = int(os.environ.get("SPARK_GRAFT_HEADLINE_N", "5000000"))
+    path = scaling_input(spark, headline_n)
+    spark.read.parquet(path).count()  # warm listing/page cache, untimed
+    t0 = time.perf_counter()
+    joined_rows = scaling_job(spark, path)
     flagship_sec = time.perf_counter() - t0
-    timings["flagship_e2e"] = round(flagship_sec, 3)
+    timings["flagship_salted_5m"] = round(flagship_sec, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
