@@ -7,14 +7,24 @@ Reference chain (/root/reference/robosat/tools/merge.py:25-89):
   buffered shapes, then shrink back (-threshold) -> orient exteriors CCW ->
   int area property (equal-area projection).
 
-Spark shape (J3 + R3 + A7): the R-tree probe becomes a cell-grid equi
-self-join — explode each *buffered* bbox into covering cells at
-``cell_zoom``, hash-join on the cell key, ``id_a < id_b`` halves the pairs,
-then exact segment-intersection refine against a broadcast of the buffered
-rings (per-partition 'broadcast R-tree' per BASELINE.json). Components via
-iterative min-label propagation; per-component union via shared-grid raster
-OR + erode + contour trace (buffer≈dilation equivalence the reference
-itself uses in mask space, /root/reference/robosat/features/core.py:80-92).
+Spark shape (J3 + R3 + A7), fully distributed — nothing is collected to
+the driver, so the feature side can itself be web-scale (the reference's
+in-memory R-tree + DFS is exactly the wall this removes,
+/root/reference/robosat/graph/core.py:14-15):
+
+  1. buffered rings computed per-feature in an Arrow pass (mercator
+     projection + raster-domain offset, kernels.buffer);
+  2. the R-tree probe becomes a cell-grid equi SELF-JOIN: explode each
+     buffered bbox into covering cells at ``cell_zoom``, hash-join on the
+     cell key, ``src < dst`` halves the pairs;
+  3. exact refine: the candidate pair table joins the buffered rings for
+     BOTH sides (data flows through joins, not a driver broadcast) and a
+     segment-intersection kernel keeps true neighbors;
+  4. components via iterative min-label propagation (operators.components);
+  5. per-component union: groupBy(component) gathers member rings
+     group-locally, rasterizes onto a shared grid, erodes back by the
+     buffer distance (merge.py:63-65 unbuffer), traces contours, simplifies,
+     orients CCW, computes int Mollweide m² (merge.py:68-81 parity).
 
 Buffering is done in spherical web-mercator (EPSG:3857) rather than the
 reference's EPSG:3395; the <0.4% scale difference only shifts the effective
@@ -36,6 +46,13 @@ from ..kernels.buffer import buffer_ring
 from .components import connected_components
 
 MERGED_SCHEMA = "component LONG, rings ARRAY<ARRAY<ARRAY<DOUBLE>>>, area_m2 DOUBLE, n_members INT"
+_BUFFERED_SCHEMA = "feature_id LONG, brings ARRAY<ARRAY<ARRAY<DOUBLE>>>"
+
+
+def _ring_np(ring) -> np.ndarray:
+    """Arrow nested arrays arrive as object arrays of point arrays — stack
+    into an (n, 2) float ndarray."""
+    return np.vstack([np.asarray(p, dtype=np.float64) for p in ring])
 
 
 def _to_mercator_ring(ring: np.ndarray) -> np.ndarray:
@@ -48,46 +65,40 @@ def _to_lonlat_ring(ring: np.ndarray) -> np.ndarray:
     return np.column_stack([lon, lat])
 
 
-def buffered_exteriors(features: DataFrame, threshold_m: float) -> dict:
-    """Driver-side: {feature_id: [buffered mercator rings]} for broadcast.
+def buffered_rings(features: DataFrame, threshold_m: float) -> DataFrame:
+    """-> (feature_id, brings): each exterior buffered by +threshold meters
+    in mercator space, computed executor-side in Arrow batches.
 
     Buffering the exterior only mirrors the reference (shapely buffer of a
     polygon dissolves holes smaller than the threshold anyway; fixture
     polygons for merge are hole-free)."""
-    out = {}
-    for row in features.select("feature_id", "rings").collect():
-        ext = G.as_ring(row["rings"][0])
-        merc = _to_mercator_ring(ext)
-        out[row["feature_id"]] = buffer_ring(merc, threshold_m, resolution=256)
-    return out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fids, brs = [], []
+            for fid, rings in zip(pdf["feature_id"], pdf["rings"]):
+                ext = G.as_ring(rings[0])
+                merc = _to_mercator_ring(ext)
+                out = buffer_ring(merc, threshold_m, resolution=256)
+                fids.append(fid)
+                brs.append([[list(map(float, p)) for p in r] for r in out])
+            if fids:
+                yield pd.DataFrame({"feature_id": fids, "brings": brs})
+
+    return features.select("feature_id", "rings").mapInPandas(gen, _BUFFERED_SCHEMA)
 
 
-def adjacency_edges(
-    spark: SparkSession,
-    features: DataFrame,
-    threshold_m: float,
-    cell_zoom: int = 16,
-    salt: int = 8,
-) -> DataFrame:
-    """-> edges(src, dst) between features whose buffered shapes intersect.
+def _bbox_cells_df(buffered: DataFrame, cell_zoom: int) -> DataFrame:
+    """(feature_id, brings) -> (feature_id, cx, cy) covering cells of the
+    buffered bbox at ``cell_zoom`` (the spatial-index key)."""
+    n = 1 << cell_zoom
 
-    Filter: cell-grid equi self-join on buffered-bbox cover cells.
-    Refine: exact ring intersection against the broadcast buffered rings.
-    """
-    buf_map = buffered_exteriors(features, threshold_m)
-    bc = spark.sparkContext.broadcast(buf_map)
-
-    # buffered bbox -> covering cells (cheap driver-free path: compute the
-    # bbox from the buffered rings inside a mapInPandas over feature rows)
-    def cells_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bmap = bc.value
-        n = 1 << cell_zoom
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             fids, cxs, cys = [], [], []
-            for fid in pdf["feature_id"]:
-                rings = bmap.get(fid) or []
-                for ring in rings:
-                    ll = _to_lonlat_ring(ring)
+            for fid, brings in zip(pdf["feature_id"], pdf["brings"]):
+                for ring in brings:
+                    ll = _to_lonlat_ring(_ring_np(ring))
                     x0, y0 = M.lonlat_to_tile(ll[:, 0].min(), ll[:, 1].max(), cell_zoom)
                     x1, y1 = M.lonlat_to_tile(ll[:, 0].max(), ll[:, 1].min(), cell_zoom)
                     for cx in range(int(x0), min(int(x1), n - 1) + 1):
@@ -98,9 +109,23 @@ def adjacency_edges(
             if fids:
                 yield pd.DataFrame({"feature_id": fids, "cx": cxs, "cy": cys})
 
-    cells = features.select("feature_id").mapInPandas(
-        cells_gen, "feature_id LONG, cx LONG, cy LONG"
-    ).distinct()
+    return buffered.mapInPandas(gen, "feature_id LONG, cx LONG, cy LONG").distinct()
+
+
+def adjacency_edges(
+    spark: SparkSession,
+    features: DataFrame,
+    threshold_m: float,
+    cell_zoom: int = 16,
+    buffered: DataFrame | None = None,
+) -> DataFrame:
+    """-> edges(src, dst) between features whose buffered shapes intersect.
+
+    Filter: cell-grid equi self-join on buffered-bbox cover cells.
+    Refine: exact ring intersection with both rings joined onto the pair."""
+    br = buffered if buffered is not None else buffered_rings(features, threshold_m)
+    br = br.localCheckpoint(eager=False)
+    cells = _bbox_cells_df(br, cell_zoom)
 
     a = cells.withColumnRenamed("feature_id", "src")
     b = cells.withColumnRenamed("feature_id", "dst")
@@ -109,25 +134,29 @@ def adjacency_edges(
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
-        # spread hot cells over tasks before the Python refine
-        .repartition(max(salt, 1), F.col("src"))
+    )
+    pairs = cand.join(
+        br.select(F.col("feature_id").alias("src"), F.col("brings").alias("br_src")), "src"
+    ).join(
+        br.select(F.col("feature_id").alias("dst"), F.col("brings").alias("br_dst")), "dst"
     )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bmap = bc.value
         for pdf in batches:
             keep_src, keep_dst = [], []
-            for s, d in zip(pdf["src"], pdf["dst"]):
-                ra = bmap.get(s) or []
-                rb = bmap.get(d) or []
-                hit = any(G.rings_intersect(x, y) for x in ra for y in rb)
+            for s, d, ra, rb in zip(pdf["src"], pdf["dst"], pdf["br_src"], pdf["br_dst"]):
+                hit = any(
+                    G.rings_intersect(_ring_np(x), _ring_np(y))
+                    for x in ra
+                    for y in rb
+                )
                 if hit:
                     keep_src.append(s)
                     keep_dst.append(d)
             if keep_src:
                 yield pd.DataFrame({"src": keep_src, "dst": keep_dst})
 
-    return cand.mapInPandas(refine, "src LONG, dst LONG")
+    return pairs.mapInPandas(refine, "src LONG, dst LONG")
 
 
 def merge_features(
@@ -140,24 +169,22 @@ def merge_features(
     """-> merged features: (component, rings, area_m2, n_members).
 
     Exteriors CCW, area = int Mollweide m² (merge.py:68-81 parity)."""
-    edges = adjacency_edges(spark, features, threshold_m, cell_zoom)
+    br = buffered_rings(features, threshold_m).localCheckpoint(eager=False)
+    edges = adjacency_edges(spark, features, threshold_m, cell_zoom, buffered=br)
     self_loops = features.select(
         F.col("feature_id").alias("src"), F.col("feature_id").alias("dst")
     )
     labels = connected_components(edges.unionByName(self_loops))
 
-    buf_map = buffered_exteriors(features, threshold_m)
-    bc = spark.sparkContext.broadcast(buf_map)
-
-    members = features.select("feature_id").join(
-        labels, features["feature_id"] == labels["node"]
-    ).select("feature_id", "component")
+    members = br.join(
+        labels, br["feature_id"] == labels["node"]
+    ).select("feature_id", "brings", "component")
 
     def union_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bmap = bc.value
         rings = []
-        for fid in pdf["feature_id"]:
-            rings.extend(bmap.get(fid) or [])
+        for brings in pdf["brings"]:
+            for r in brings:
+                rings.append(_ring_np(r))
         if not rings:
             return pd.DataFrame(columns=["component", "rings", "area_m2", "n_members"])
         allpts = np.vstack(rings)
