@@ -5,17 +5,20 @@ predicted shape, R-tree bbox candidates -> exact ``intersects`` refine ->
 union of intersecting OSM shapes -> keep when ``iou(pred, union) <
 threshold``; vacuous cases (no candidates / no intersecting) keep.
 
-Spark shape (J4): cell-grid LEFT OUTER join predicted x osm at
-``cell_zoom`` -> groupBy(predicted).applyInPandas(intersects refine ->
-union -> IoU) -> filter. The predicate cascade is explicit: null-join
-short-circuit first, cheap exact-intersects second, expensive IoU only on
-survivors (dedupe.py:51-64 ordering, SURVEY.md §4).
+Spark shape (J4), fully distributed: cell-grid LEFT OUTER join predicted x
+osm at ``cell_zoom`` with BOTH ring payloads flowing through the join (no
+driver-side collection — either side can be web-scale) ->
+groupBy(predicted).applyInPandas(intersects refine -> union -> IoU) ->
+filter. The predicate cascade is explicit: null-join short-circuit first,
+cheap exact-intersects second, expensive IoU only on survivors
+(dedupe.py:51-64 ordering, SURVEY.md §4).
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,31 +29,34 @@ from ..kernels import mercator as M
 DEDUP_SCHEMA = "pred_id LONG, iou DOUBLE, n_candidates INT, keep BOOLEAN"
 
 
-def _bbox_cells(rings, cell_zoom: int):
-    ext = G.as_ring(rings[0])
+def _rings_np(rings):
+    return [
+        np.vstack([np.asarray(p, dtype=np.float64) for p in ring]) for ring in rings
+    ]
+
+
+def _cells_df(features: DataFrame, id_col: str, cell_zoom: int) -> DataFrame:
+    """(feature_id, rings) -> (id, cx, cy, rings): bbox cover cells at the
+    index zoom, ring payload carried along for the group-local refine."""
     n = 1 << cell_zoom
-    x0, y0 = M.lonlat_to_tile(ext[:, 0].min(), ext[:, 1].max(), cell_zoom)
-    x1, y1 = M.lonlat_to_tile(ext[:, 0].max(), ext[:, 1].min(), cell_zoom)
-    for cx in range(int(x0), min(int(x1), n - 1) + 1):
-        for cy in range(int(y0), min(int(y1), n - 1) + 1):
-            yield cx, cy
 
-
-def _cells_df(spark: SparkSession, features: DataFrame, id_col: str, cell_zoom: int) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fids, cxs, cys = [], [], []
+            rows = []
             for fid, rings in zip(pdf["feature_id"], pdf["rings"]):
-                for cx, cy in _bbox_cells(rings, cell_zoom):
-                    fids.append(fid)
-                    cxs.append(cx)
-                    cys.append(cy)
-            if fids:
-                yield pd.DataFrame({id_col: fids, "cx": cxs, "cy": cys})
+                ext = _rings_np(rings)[0]
+                x0, y0 = M.lonlat_to_tile(ext[:, 0].min(), ext[:, 1].max(), cell_zoom)
+                x1, y1 = M.lonlat_to_tile(ext[:, 0].max(), ext[:, 1].min(), cell_zoom)
+                clean = [[list(map(float, p)) for p in ring] for ring in rings]
+                for cx in range(int(x0), min(int(x1), n - 1) + 1):
+                    for cy in range(int(y0), min(int(y1), n - 1) + 1):
+                        rows.append((fid, cx, cy, clean))
+            if rows:
+                yield pd.DataFrame(rows, columns=[id_col, "cx", "cy", "rings"])
 
     return features.select("feature_id", "rings").mapInPandas(
-        gen, f"{id_col} LONG, cx LONG, cy LONG"
-    ).distinct()
+        gen, f"{id_col} LONG, cx LONG, cy LONG, rings ARRAY<ARRAY<ARRAY<DOUBLE>>>"
+    )
 
 
 def dedupe(
@@ -65,35 +71,29 @@ def dedupe(
 
     ``iou`` is 0.0 for vacuous keeps (no bbox candidates / none intersect),
     mirroring the reference's short-circuit keeps."""
-    osm_map = {
-        row["feature_id"]: [G.as_ring(r) for r in row["rings"]]
-        for row in osm.select("feature_id", "rings").collect()
-    }
-    pred_map = {
-        row["feature_id"]: [G.as_ring(r) for r in row["rings"]]
-        for row in predicted.select("feature_id", "rings").collect()
-    }
-    bc = spark.sparkContext.broadcast((pred_map, osm_map))
-
-    pcells = _cells_df(spark, predicted, "pred_id", cell_zoom)
-    ocells = _cells_df(spark, osm, "osm_id", cell_zoom)
+    pcells = _cells_df(predicted, "pred_id", cell_zoom).withColumnRenamed(
+        "rings", "pred_rings"
+    )
+    ocells = _cells_df(osm, "osm_id", cell_zoom).withColumnRenamed("rings", "osm_rings")
     cand = (
         pcells.join(ocells, ["cx", "cy"], "left_outer")
-        .select("pred_id", "osm_id")
-        .distinct()
+        .select("pred_id", "pred_rings", "osm_id", "osm_rings")
+        .dropDuplicates(["pred_id", "osm_id"])
     )
 
     def judge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pmap, omap = bc.value
         pid = int(key[0])
-        pred_rings = pmap[pid]
-        cands = [int(o) for o in pdf["osm_id"] if pd.notna(o)]
+        pred_rings = _rings_np(pdf["pred_rings"].iloc[0])
+        cands = [
+            (int(o), _rings_np(r))
+            for o, r in zip(pdf["osm_id"], pdf["osm_rings"])
+            if pd.notna(o)
+        ]
         if not cands:  # no bbox candidates -> keep (dedupe.py:51-52)
             return pd.DataFrame([(pid, 0.0, 0, True)],
                                 columns=["pred_id", "iou", "n_candidates", "keep"])
         intersecting = [
-            omap[o] for o in cands
-            if G.rings_intersect(pred_rings[0], omap[o][0])
+            rings for _, rings in cands if G.rings_intersect(pred_rings[0], rings[0])
         ]
         if not intersecting:  # none intersect -> keep (dedupe.py:58-59)
             return pd.DataFrame([(pid, 0.0, len(cands), True)],
