@@ -55,30 +55,38 @@ def rasterize_masks(
     zoom: int,
     size: int = 512,
 ) -> DataFrame:
-    """-> masks DataFrame(z, x, y, w, h, data) for every tile in tiles_df."""
+    """-> masks DataFrame(z, x, y, w, h, data) for every tile in tiles_df.
+
+    Fully distributed: ring payloads join onto the (tile, feature) cover
+    rows (no driver collection), so the feature side can be web-scale; the
+    left-outer null group still yields the zero mask."""
     from .cover import cover
 
-    rings_map = {
-        row["feature_id"]: [as_ring(r) for r in row["rings"]]
-        for row in features.select("feature_id", "rings").collect()
-    }
-    bc = spark.sparkContext.broadcast(rings_map)
-
-    cov = cover(features, zoom).select("x", "y", "feature_id")
+    cov = cover(features, zoom).select("x", "y", "feature_id").join(
+        features.select("feature_id", "rings"), "feature_id"
+    )
     tiles_norm = tiles_df.select(
         F.col("x").cast("long").alias("x"), F.col("y").cast("long").alias("y")
     ).distinct()
-    joined = tiles_norm.join(cov, ["x", "y"], "left_outer")
+    # ship rings as JSON text through the grouped exchange: pyarrow's
+    # grouped arrow_to_pandas segfaults on (nullable) deeply-nested list
+    # columns in this environment, and per-tile ring counts are tiny so
+    # the parse cost is noise
+    joined = tiles_norm.join(cov, ["x", "y"], "left_outer").select(
+        "x", "y", "feature_id", F.to_json(F.col("rings")).alias("rings_json")
+    )
 
     def burn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import json
+
         x, y = int(key[0]), int(key[1])
         t = tile_transform(x, y, zoom, size)
         canvas = np.zeros((size, size), dtype=np.uint8)
-        rmap = bc.value
-        for fid in pdf["feature_id"]:
-            if fid is None or (isinstance(fid, float) and np.isnan(fid)):
+        for fid, rj in zip(pdf["feature_id"], pdf["rings_json"]):
+            if fid is None or (isinstance(fid, float) and np.isnan(fid)) or rj is None:
                 continue
-            burned = rasterize_rings(rmap[int(fid)], size, size, t)
+            np_rings = [as_ring(r) for r in json.loads(rj)]
+            burned = rasterize_rings(np_rings, size, size, t)
             np.maximum(canvas, burned, out=canvas)  # A6 max-merge
         return pd.DataFrame(
             {"z": [np.int32(zoom)], "x": [x], "y": [y], "w": [size], "h": [size],
