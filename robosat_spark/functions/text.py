@@ -105,6 +105,16 @@ def content_fingerprint(text: Column) -> Column:
     return F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("long")
 
 
+def extract_text_from_html(html: Column) -> Column:
+    """Deterministic text extraction from the html payload (G27 / the
+    input_hint per-row invariant: byte-identical extracted text per url).
+    The synthetic html is ``<html><body>{text}</body></html>`` (UTF-8);
+    extraction = decode + strip the fixed wrapper tags — pure JVM, no
+    Python, so the invariant holds on any partitioning/cluster size."""
+    s = F.decode(html, "UTF-8")
+    return F.regexp_replace(s, r"^<html><body>|</body></html>$", "")
+
+
 def normalized_text(text: Column) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, strip."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

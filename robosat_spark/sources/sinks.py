@@ -70,3 +70,38 @@ def write_slippy_grids(masks: DataFrame, root: str) -> None:
 
 def read_slippy_grids(spark, root: str) -> DataFrame:
     return spark.read.parquet(root)
+
+
+def throttled_idempotent_sink(
+    df: DataFrame,
+    write_one,
+    key_cols: list[str],
+    exists,
+    rate_per_sec: float = 10.0,
+) -> None:
+    """S3 pattern: the reference's rate-limited download worker with
+    skip-if-exists resume (/root/reference/robosat/tiles.py:45-62,
+    /root/reference/robosat/tools/download.py:38-78) as a
+    ``foreachPartition`` sink — per-partition token-bucket throttle (the
+    global rate is rate_per_sec * partitions; repartition to control it),
+    and each key is skipped when ``exists(key)`` — rerun-safe.
+
+    ``write_one(row)`` performs the external write; ``exists(key_tuple)``
+    checks idempotency. No network is used in this repo — tests drive it
+    with local-filesystem callables."""
+    import time as _time
+
+    def sink(rows):
+        interval = 1.0 / rate_per_sec if rate_per_sec > 0 else 0.0
+        next_ok = _time.monotonic()
+        for row in rows:
+            key = tuple(row[c] for c in key_cols)
+            if exists(key):
+                continue  # skip-if-exists (download.py:48-49)
+            now = _time.monotonic()
+            if now < next_ok:
+                _time.sleep(next_ok - now)
+            next_ok = max(next_ok, now) + interval
+            write_one(row)
+
+    df.foreachPartition(sink)

@@ -86,3 +86,31 @@ def test_sinks_roundtrip(spark, tmp_path):
     assert rd.count() == 2 and set(rd.columns) == {"z", "x", "y", "w", "h", "data"}
     # partition layout is the z/x/ directory convention
     assert (tmp_path / "grids" / "z=18").exists()
+
+
+def test_throttled_idempotent_sink(spark, tmp_path):
+    """S3 pattern: rate-limited external writes with skip-if-exists resume."""
+    import time
+
+    from robosat_spark.sources.sinks import throttled_idempotent_sink
+
+    out = tmp_path / "ext"
+    out.mkdir()
+    df = spark.createDataFrame([(i,) for i in range(8)], "id LONG").repartition(1)
+
+    def write_one(row):
+        (out / f"{row['id']}.txt").write_text(str(row["id"]))
+
+    def exists(key):
+        return (out / f"{key[0]}.txt").exists()
+
+    # pre-populate half: the rerun must skip them
+    for i in range(4):
+        (out / f"{i}.txt").write_text("pre")
+
+    t0 = time.monotonic()
+    throttled_idempotent_sink(df, write_one, ["id"], exists, rate_per_sec=20.0)
+    dt = time.monotonic() - t0
+    assert sorted(p.name for p in out.iterdir()) == [f"{i}.txt" for i in range(8)]
+    assert all((out / f"{i}.txt").read_text() == "pre" for i in range(4))  # skipped
+    assert dt >= 4 * (1 / 20.0) * 0.5  # throttle actually paced the 4 writes

@@ -1,0 +1,106 @@
+"""Per-row invariants (input_hint) + hypothesis property tests for kernels."""
+
+import numpy as np
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from robosat_spark.kernels import geometry as G
+from robosat_spark.kernels import mercator as M
+
+
+def test_text_extraction_byte_identical_per_url(spark):
+    """BASELINE.json input_hint: byte-identical extracted text per url —
+    extraction from html must reproduce the text column exactly, and the
+    same url must carry the same text across snapshot rows."""
+    from robosat_spark.functions.text import extract_text_from_html
+    from robosat_spark.sources.pages import pages
+
+    pg = pages(spark, 5000)
+    mismatches = pg.filter(
+        extract_text_from_html(F.col("html")) != F.col("text")
+    ).count()
+    assert mismatches == 0
+    # snapshot rows (same url, later warc_ts) keep identical bytes
+    multi = (
+        pg.groupBy("url")
+        .agg(F.countDistinct("text").alias("nt"), F.count("*").alias("n"))
+        .filter((F.col("n") > 1) & (F.col("nt") > 1))
+        .count()
+    )
+    assert multi == 0
+
+
+def test_extraction_parallelism_invariant(spark):
+    """Same rows at any partitioning: 1-partition and 32-partition builds
+    produce identical sorted (url, text) sets (north-rule determinism)."""
+    from robosat_spark.sources.pages import pages
+
+    a = pages(spark, 3000, partitions=1).select("url", "text")
+    b = pages(spark, 3000, partitions=32).select("url", "text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+lonlat = st.tuples(
+    st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    st.floats(min_value=-84.9, max_value=84.9, allow_nan=False),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lonlat)
+def test_mercator_roundtrip(p):
+    lon, lat = p
+    x, y = M.lonlat_to_mercator(np.array([lon]), np.array([lat]))
+    lo, la = M.mercator_to_lonlat(x, y)
+    assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-7
+
+
+@settings(max_examples=200, deadline=None)
+@given(lonlat, st.integers(min_value=1, max_value=18))
+def test_point_maps_into_its_tile_bounds(p, z):
+    lon, lat = p
+    tx, ty = M.lonlat_to_tile(lon, lat, z)
+    w, s, e, n = M.tile_bounds(int(tx), int(ty), z)
+    assert w - 1e-9 <= lon <= e + 1e-9
+    assert s - 1e-7 <= lat <= n + 1e-7
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+        ),
+        min_size=4,
+        max_size=40,
+    ),
+    st.floats(min_value=1e-6, max_value=2.0),
+)
+def test_simplify_dp_properties(pts, eps):
+    ring = np.asarray(pts, dtype=np.float64)
+    out = G.simplify_dp(ring, eps, closed=False)
+    # never grows, keeps endpoints, output is a subsequence of input
+    assert len(out) <= len(ring)
+    assert np.array_equal(out[0], ring[0]) and np.array_equal(out[-1], ring[-1])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=3, max_value=60), st.floats(min_value=0.1, max_value=5.0))
+def test_pip_convex_polygon_center_inside(n, r):
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ring = np.column_stack([r * np.cos(ang), r * np.sin(ang)])
+    inside = G.points_in_ring(np.array([0.0]), np.array([0.0]), ring)
+    outside = G.points_in_ring(np.array([3 * r]), np.array([0.0]), ring)
+    assert inside[0] and not outside[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=3, max_value=30))
+def test_shoelace_orientation_flip(n):
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ccw = np.column_stack([np.cos(ang), np.sin(ang)])
+    a = G.signed_area(ccw)
+    b = G.signed_area(ccw[::-1])
+    assert a > 0 and abs(a + b) < 1e-12
