@@ -102,8 +102,9 @@ def main():
         "sessionize",
         "sessionize_gaps",
         "rollup_events",
-        "embedding_neardup",
-        "dedup_simhash_pairs",
+        # embedding_neardup / dedup_simhash_pairs are exact all-pairs
+        # correctness demos (O(n^2) by definition); their scale paths are
+        # the LSH prefilters benchmarked via the recall tests
         "pip_assign_jvm",
         "dedup_exact",
         "dedup_minhash_lsh",
@@ -119,6 +120,11 @@ def main():
         "pricing_summary",
         "market_join",
     ]
+    # warmup: spin Python workers + JIT/codegen once so the first timed
+    # query isn't charged the session's fixed startup costs
+    spark.range(1000).selectExpr("sum(id)").collect()
+    qs["tile_encode"](spark, sf_dir).limit(1).count()
+
     timings = {}
     for name in bench_queries:
         if name not in qs:
