@@ -44,6 +44,46 @@ def ivf_assign(base: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataF
     return centroids, assigned
 
 
+def write_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Persist the IVF-assigned corpus partitioned by centroid: a probe of
+    nprobe cells then scans ONLY those directory partitions (dynamic
+    partition pruning) — the disk layout that turns per-query cost from
+    O(corpus) into O(corpus * nprobe / n_centroids)."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def ann_ivf_from_index(
+    index: DataFrame, queries: DataFrame, centroids: DataFrame, nprobe: int = 4, k: int = 5
+) -> DataFrame:
+    """Top-k over a persisted IVF index. Centroid probe list is computed on
+    the tiny centroid table; the ``centroid_id IN (...)`` filter prunes the
+    index scan to the probed partitions."""
+    qprobe = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "csim", cosine_sim(F.col("qvec"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    cand = (
+        index.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn("sim", cosine_sim(F.col("vec"), F.col("qvec")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "rank", "sim")
+    )
+
+
 def ann_ivf(
     base: DataFrame,
     queries: DataFrame,

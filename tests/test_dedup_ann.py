@@ -116,3 +116,43 @@ def test_hyperplane_lsh_bucket_recall(spark):
         for i in range(60) for j in range(i + 1, 60)
     )
     assert bg_hits / (60 * 59 / 2) < 0.2, bg_hits
+
+
+def test_ivf_index_persisted_and_pruned(spark, tmp_path):
+    """Persisted IVF layout: results equal the in-memory path and the probe
+    scan is partition-pruned to the probed centroid directories."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from robosat_spark.operators.ann import (
+        ann_ivf,
+        ann_ivf_from_index,
+        ivf_assign,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, 8)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)], "item_id LONG, vec ARRAY<DOUBLE>"
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(3)], "query_id LONG, qvec ARRAY<DOUBLE>"
+    )
+    centroids, assigned = ivf_assign(base, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, path)
+    index = read_ivf_index(spark, path)
+
+    got = ann_ivf_from_index(index, queries, centroids, nprobe=3, k=4)
+    want = ann_ivf(base, queries, n_centroids=8, nprobe=3, k=4)
+    assert sorted(map(tuple, got.drop("sim").collect())) == sorted(
+        map(tuple, want.drop("sim").collect())
+    )
+    # layout is one directory per centroid; the probe filter partition-prunes
+    import os
+
+    assert any(d.startswith("centroid_id=") for d in os.listdir(path))
+    plan = index.filter(F.col("centroid_id").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

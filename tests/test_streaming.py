@@ -55,3 +55,46 @@ def test_streaming_dedup_urls(spark, pages_dir, tmp_path):
     n_batch = spark.read.parquet(pages_dir).select("url").distinct().count()
     assert n_stream == n_batch
     assert n_rows == n_batch  # one row per url survived the streaming dedup
+
+
+def test_stateful_tile_counters_accumulate(spark, pages_dir, tmp_path):
+    """applyInPandasWithState: running per-tile counters across
+    micro-batches equal the batch groupBy on the same files."""
+    import pyspark.sql.functions as F
+
+    from robosat_spark.functions.tiles import geotag_lat_fast, geotag_lon_fast, pack_tile_id, tile_x, tile_y
+    from robosat_spark.streaming.stateful import streaming_tile_state
+
+    stream = streaming_pages(spark, pages_dir, max_files_per_trigger=1)
+    lon = geotag_lon_fast(F.col("text"))
+    lat = geotag_lat_fast(F.col("text"))
+    pts = (
+        stream.select("url", "warc_ts", lon.alias("lon"), lat.alias("lat"))
+        .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+        .withColumn("tile_id", pack_tile_id(10, tile_x(F.col("lon"), 10), tile_y(F.col("lat"), 10)))
+    )
+    out = streaming_tile_state(pts)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tile_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # in update mode the memory sink appends every emitted update; the
+    # LATEST row per tile is the final accumulated state
+    final = spark.sql(
+        """SELECT tile_id, max_by(count, count) AS count FROM tile_state GROUP BY tile_id"""
+    )
+    got = {r["tile_id"]: r["count"] for r in final.collect()}
+
+    from robosat_spark.operators.spatial_join import geotagged_points
+
+    want = {
+        r["tile_id"]: r["n"]
+        for r in geotagged_points(spark.read.parquet(pages_dir), 10)
+        .groupBy("tile_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(got) > 0
