@@ -584,6 +584,33 @@ def _q_dedupe_iou(spark, sf_dir):
     return verdicts.select("pred_id", F.round("iou", 2).alias("iou"), "keep")
 
 
+def _q_users_retained(spark, sf_dir):
+    """Set operators (O4/engine surface): users active in the first week
+    INTERSECT users active in the last week of the event range."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    week = 7 * 86400
+    early = ev.filter(
+        F.col("ts") < F.lit(bounds["lo"]) + F.expr(f"INTERVAL {week} SECOND")
+    ).select("user_id")
+    late = ev.filter(
+        F.col("ts") > F.lit(bounds["hi"]) - F.expr(f"INTERVAL {week} SECOND")
+    ).select("user_id")
+    return early.intersect(late).select(F.col("user_id").alias("user_id"))
+
+
+def _q_event_type_pivot(spark, sf_dir):
+    """Pivot-shaped conditional aggregation: per-user event-type counts as
+    columns (identical conditional-sum structure in the SQL twin)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in types
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact all-pairs at test scale; the
     hyperplane-LSH bucket path in functions.vectors is the 100TB prefilter,
@@ -661,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "sessionize_gaps": _q_sessionize_gaps,
         "rollup_events": _q_rollup_events,
+        "users_retained": _q_users_retained,
+        "event_type_pivot": _q_event_type_pivot,
         "embedding_neardup": _q_embedding_neardup,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "tile_encode": _q_tile_encode,
@@ -808,6 +837,23 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(value), 6) AS sum_value
         FROM events
         GROUP BY ROLLUP (event_type, day)
+    """
+
+    sql["users_retained"] = """
+        SELECT user_id FROM events
+        WHERE ts < (SELECT MIN(ts) FROM events) + INTERVAL 604800 SECOND
+        INTERSECT
+        SELECT user_id FROM events
+        WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL 604800 SECOND
+    """
+
+    sql["event_type_pivot"] = """
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        FROM events GROUP BY user_id
     """
 
     sql["embedding_neardup"] = """
