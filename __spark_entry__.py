@@ -584,6 +584,25 @@ def _q_dedupe_iou(spark, sf_dir):
     return verdicts.select("pred_id", F.round("iou", 2).alias("iou"), "keep")
 
 
+def _q_asof_click_before_purchase(spark, sf_dir):
+    """As-of join (interval member of the join matrix): each purchase event
+    matched to the user's latest click at or before it."""
+    from robosat_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_id="p_id", left_ts="p_ts",
+        right_ts="c_ts", right_id="c_id", how="left",
+    )
+    return out.select("user_id", "p_id", "p_ts", F.col("r_c_id").alias("c_id"))
+
+
 def _q_users_retained(spark, sf_dir):
     """Set operators (O4/engine surface): users active in the first week
     INTERSECT users active in the last week of the event range."""
@@ -689,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_gaps": _q_sessionize_gaps,
         "rollup_events": _q_rollup_events,
         "users_retained": _q_users_retained,
+        "asof_click_before_purchase": _q_asof_click_before_purchase,
         "event_type_pivot": _q_event_type_pivot,
         "embedding_neardup": _q_embedding_neardup,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -837,6 +857,17 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(value), 6) AS sum_value
         FROM events
         GROUP BY ROLLUP (event_type, day)
+    """
+
+    sql["asof_click_before_purchase"] = """
+        WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM events WHERE event_type = 'click')
+        SELECT user_id, p_id, p_ts, c_id FROM (
+          SELECT p.user_id, p.p_id, p.p_ts, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                    ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn
+          FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts)
+        WHERE rn = 1
     """
 
     sql["users_retained"] = """

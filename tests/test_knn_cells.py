@@ -74,3 +74,23 @@ def test_column_cell_encoders_match_kernels(spark):
         assert r["qk"] == M.quadkey(x, y, z)
         km, _ = M.morton_cell(np.array([x]), np.array([y]), z)
         assert r["m"] == int(km[0])
+
+
+def test_asof_join_semantics(spark):
+    from robosat_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 50), (2, 20, 100)],
+        "k LONG, lid LONG, lts LONG",
+    )
+    right = spark.createDataFrame(
+        [(1, 900, 40), (1, 901, 99), (1, 902, 99), (1, 903, 101), (3, 904, 10)],
+        "k LONG, rid LONG, rts LONG",
+    )
+    out = asof_join(left, right, key="k", left_id="lid", left_ts="lts",
+                    right_ts="rts", right_id="rid", how="left")
+    got = {r["lid"]: r["r_rid"] for r in out.collect()}
+    assert got[10] == 902  # ts tie at 99 -> highest rid wins
+    assert got[11] == 900  # only rts<=50 candidate
+    assert got[20] is None  # key 2 has no right rows (left join keeps it)
+    assert len(got) == 3
