@@ -167,6 +167,21 @@ def _q_cell_encode(spark, sf_dir):
     )
 
 
+def _q_hex_encode(spark, sf_dir):
+    """Hex cell family (H3-style axial binning, 10 km edge): pages per hex
+    cell — the second cell encoder next to slippy/quadkey/Morton."""
+    from robosat_spark.functions.tiles import hex_cell
+    from robosat_spark.operators.spatial_join import geotagged_points
+    from robosat_spark.sources.pages import pages_from_events
+
+    pts = geotagged_points(pages_from_events(spark, sf_dir), zoom=12)
+    return (
+        pts.select(hex_cell(F.col("lon"), F.col("lat"), 10_000.0).alias("hex_id"))
+        .groupBy("hex_id")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
 def _q_tile_adjacency(spark, sf_dir):
     """J6 tile-adjacency self-join: count occupied neighbor pairs among
     the distinct z12 tiles of the geotagged points."""
@@ -715,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_encode": _q_tile_encode,
         "tile_adjacency": _q_tile_adjacency,
         "cell_encode": _q_cell_encode,
+        "hex_encode": _q_hex_encode,
         "pip_assign": _q_pip_assign,
         "knn": _q_knn,
         "dedup_exact": _q_dedup_exact,
@@ -945,6 +961,14 @@ def oracle_sql() -> dict[str, str]:
                ({spread_sql("tx")} | ({spread_sql("ty")} << 1)) AS morton
         FROM (SELECT url, {tx12} AS tx, {ty12} AS ty
               FROM ({_PAGES}) WHERE lon IS NOT NULL AND lat IS NOT NULL)
+    """
+
+    from robosat_spark.functions.tiles import hex_cell_sql
+
+    sql["hex_encode"] = f"""
+        SELECT {hex_cell_sql(10_000.0)} AS hex_id, COUNT(*) AS n_pages
+        FROM ({_PAGES}) WHERE lon IS NOT NULL AND lat IS NOT NULL
+        GROUP BY 1
     """
 
     rect_cases = " ".join(

@@ -95,6 +95,7 @@ def main():
     qs = entry.queries()
     bench_queries = [
         "tile_encode",
+        "hex_encode",
         "pip_assign",
         "knn",
         "tile_adjacency",
@@ -102,6 +103,9 @@ def main():
         "sessionize",
         "sessionize_gaps",
         "rollup_events",
+        "users_retained",
+        "event_type_pivot",
+        "asof_click_before_purchase",
         # embedding_neardup / dedup_simhash_pairs are exact all-pairs
         # correctness demos (O(n^2) by definition); their scale paths are
         # the LSH prefilters benchmarked via the recall tests

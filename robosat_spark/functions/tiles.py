@@ -144,6 +144,50 @@ def neighbor_offsets_df(spark, include_self: bool = False):
     return spark.createDataFrame(rows, "dx INT, dy INT")
 
 
+_SQRT3 = 1.7320508075688772
+
+
+def hex_cell(lon: Column, lat: Column, size_m: float) -> Column:
+    """H3-style hexagonal cell id (second cell family, SURVEY §7 step 10):
+    pointy-top hex binning of web-mercator meters at edge length ``size_m``,
+    via axial coordinates + cube rounding — all when/otherwise arithmetic,
+    so it runs in whole-stage codegen and has an exact SQL twin
+    (``hex_cell_sql``). Returns (q + 2^25) << 26 | (r + 2^25) packed long."""
+    R = 6378137.0
+    mx = F.radians(lon) * F.lit(R)
+    my = F.lit(R) * F.log(F.tan(F.lit(0.7853981633974483) + F.radians(lat) / F.lit(2.0)))
+    q = (F.lit(_SQRT3 / 3.0) * mx - my / F.lit(3.0)) / F.lit(float(size_m))
+    r = (F.lit(2.0 / 3.0) * my) / F.lit(float(size_m))
+    x, z = q, r
+    y = -x - z
+    rx, ry, rz = F.round(x), F.round(y), F.round(z)
+    dx, dy, dz = F.abs(rx - x), F.abs(ry - y), F.abs(rz - z)
+    rx2 = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+    rz2 = F.when(~((dx > dy) & (dx > dz)) & ~(dy > dz), -rx - ry).otherwise(rz)
+    qi = rx2.cast("long") + F.lit(1 << 25)
+    ri = rz2.cast("long") + F.lit(1 << 25)
+    return F.shiftleft(qi, 26).bitwiseOR(ri)
+
+
+def hex_cell_sql(size_m: float, lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB twin of ``hex_cell`` (identical expression structure)."""
+    R = 6378137.0
+    mx = f"(RADIANS({lon}) * {R!r})"
+    my = f"({R!r} * LN(TAN(0.7853981633974483 + RADIANS({lat}) / 2.0)))"
+    q = f"(({_SQRT3 / 3.0!r} * {mx} - {my} / 3.0) / {float(size_m)!r})"
+    r = f"((2.0 / 3.0) * {my} / {float(size_m)!r})"
+    x, z = q, r
+    y = f"(-{x} - {z})"
+    rx, ry, rz = f"ROUND({x})", f"ROUND({y})", f"ROUND({z})"
+    dx, dy, dz = f"ABS({rx} - {x})", f"ABS({ry} - {y})", f"ABS({rz} - {z})"
+    big_dx = f"({dx} > {dy} AND {dx} > {dz})"
+    rx2 = f"(CASE WHEN {big_dx} THEN -{ry} - {rz} ELSE {rx} END)"
+    rz2 = f"(CASE WHEN NOT {big_dx} AND NOT ({dy} > {dz}) THEN -{rx} - {ry} ELSE {rz} END)"
+    return (
+        f"((CAST({rx2} AS BIGINT) + {1 << 25}) << 26) | (CAST({rz2} AS BIGINT) + {1 << 25})"
+    )
+
+
 def geotag_lon(text: Column) -> Column:
     """Extract longitude from a ``geo:{lat},{lon}`` token — vectorized regex
     + try_cast, the engine-side replacement for osmium geometry assembly
