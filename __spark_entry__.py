@@ -167,6 +167,42 @@ def _q_cell_encode(spark, sf_dir):
     )
 
 
+def _q_tile_pyramid_rollup(spark, sf_dir):
+    """Tile-pyramid rollup (hypertable-rollup analog): page counts per tile
+    at z12 rolled up the zoom hierarchy to z8 by parent halving — one
+    groupBy at the finest level, then cheap re-aggregations of the (small)
+    aggregate, never a rescan of the base table."""
+    from robosat_spark.functions.tiles import tile_parent, unpack_tile_x, unpack_tile_y
+    from robosat_spark.operators.spatial_join import geotagged_points
+    from robosat_spark.sources.pages import pages_from_events
+
+    pts = geotagged_points(pages_from_events(spark, sf_dir), zoom=12)
+    base = (
+        pts.select(
+            unpack_tile_x(F.col("tile_id")).alias("x"),
+            unpack_tile_y(F.col("tile_id")).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .withColumn("z", F.lit(12))
+    )
+    levels = [base.select("z", "x", "y", "n")]
+    cur = base
+    for z in range(11, 7, -1):
+        px, py = tile_parent(F.col("x"), F.col("y"))
+        cur = (
+            cur.select(px.alias("x"), py.alias("y"), "n")
+            .groupBy("x", "y")
+            .agg(F.sum("n").alias("n"))
+            .withColumn("z", F.lit(z))
+        )
+        levels.append(cur.select("z", "x", "y", "n"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def _q_hex_encode(spark, sf_dir):
     """Hex cell family (H3-style axial binning, 10 km edge): pages per hex
     cell — the second cell encoder next to slippy/quadkey/Morton."""
@@ -731,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_adjacency": _q_tile_adjacency,
         "cell_encode": _q_cell_encode,
         "hex_encode": _q_hex_encode,
+        "tile_pyramid_rollup": _q_tile_pyramid_rollup,
         "pip_assign": _q_pip_assign,
         "knn": _q_knn,
         "dedup_exact": _q_dedup_exact,
@@ -961,6 +998,20 @@ def oracle_sql() -> dict[str, str]:
                ({spread_sql("tx")} | ({spread_sql("ty")} << 1)) AS morton
         FROM (SELECT url, {tx12} AS tx, {ty12} AS ty
               FROM ({_PAGES}) WHERE lon IS NOT NULL AND lat IS NOT NULL)
+    """
+
+    sql["tile_pyramid_rollup"] = f"""
+        WITH base AS (
+          SELECT 12 AS z, tx AS x, ty AS y, COUNT(*) AS n
+          FROM (SELECT {tx12} AS tx, {ty12} AS ty
+                FROM ({_PAGES}) WHERE lon IS NOT NULL AND lat IS NOT NULL)
+          GROUP BY 2, 3
+        )
+        SELECT z, x, y, n FROM base
+        UNION ALL SELECT 11, x >> 1, y >> 1, SUM(n) FROM base GROUP BY 2, 3
+        UNION ALL SELECT 10, x >> 2, y >> 2, SUM(n) FROM base GROUP BY 2, 3
+        UNION ALL SELECT 9, x >> 3, y >> 3, SUM(n) FROM base GROUP BY 2, 3
+        UNION ALL SELECT 8, x >> 4, y >> 4, SUM(n) FROM base GROUP BY 2, 3
     """
 
     from robosat_spark.functions.tiles import hex_cell_sql

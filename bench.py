@@ -96,6 +96,7 @@ def main():
     bench_queries = [
         "tile_encode",
         "hex_encode",
+        "tile_pyramid_rollup",
         "pip_assign",
         "knn",
         "tile_adjacency",

@@ -144,6 +144,24 @@ def neighbor_offsets_df(spark, include_self: bool = False):
     return spark.createDataFrame(rows, "dx INT, dy INT")
 
 
+def tile_parent(x: Column, y: Column, levels: int = 1) -> tuple[Column, Column]:
+    """Parent tile ``levels`` up the pyramid: integer halving of x/y."""
+    return F.shiftright(x.cast("long"), levels), F.shiftright(y.cast("long"), levels)
+
+
+def tile_children(x: Column, y: Column) -> Column:
+    """The 4 children one zoom down: array<struct<x,y>>."""
+    cx = F.shiftleft(x.cast("long"), 1)
+    cy = F.shiftleft(y.cast("long"), 1)
+    return F.array(
+        *[
+            F.struct((cx + dx).alias("x"), (cy + dy).alias("y"))
+            for dx in (0, 1)
+            for dy in (0, 1)
+        ]
+    )
+
+
 _SQRT3 = 1.7320508075688772
 
 
