@@ -56,10 +56,11 @@ def _register_builtins() -> None:
     from .functions import text, tiles, vectors
     from .functions.multimodal import media_meta, sniff_format
     from .functions.roads import is_road, road_width_m
-    from .operators import ann, components, cover, dedup, dedupe, ensemble
+    from .operators import ann, asof, components, cover, dedup, dedupe, ensemble
     from .operators import features as feat_ops
     from .operators import halo, knn, merge, rasterize, spatial_join, weights
     from .sources import fixtures, pages, sinks
+    from .streaming import stateful
 
     for name, fn in [
         ("tile_x", tiles.tile_x), ("tile_y", tiles.tile_y),
@@ -74,6 +75,9 @@ def _register_builtins() -> None:
         ("sniff_format", sniff_format), ("media_meta", media_meta),
         ("is_road", is_road), ("road_width_m", road_width_m),
         ("point_in_rings", spatial_join.point_in_rings),
+        ("hex_cell", tiles.hex_cell),
+        ("tile_parent", tiles.tile_parent), ("tile_children", tiles.tile_children),
+        ("extract_text_from_html", text.extract_text_from_html),
     ]:
         register(name, "scalar", fn)
 
@@ -94,6 +98,9 @@ def _register_builtins() -> None:
         ("knn_bruteforce", knn.knn_bruteforce),
         ("ann_ivf", ann.ann_ivf),
         ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
+        ("asof_join", asof.asof_join),
+        ("ann_ivf_from_index", ann.ann_ivf_from_index),
+        ("streaming_tile_state", stateful.streaming_tile_state),
     ]:
         register(name, "grouped", fn)
 
@@ -110,6 +117,8 @@ def _register_builtins() -> None:
 
     for name, fn in [
         ("write_tiles_csv", sinks.write_tiles_csv),
+        ("write_ivf_index", ann.write_ivf_index),
+        ("throttled_idempotent_sink", sinks.throttled_idempotent_sink),
         ("write_features_jsonl", sinks.write_features_jsonl),
         ("save_feature_collection", sinks.save_feature_collection),
         ("write_slippy_grids", sinks.write_slippy_grids),

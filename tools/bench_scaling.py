@@ -49,11 +49,20 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scaling_n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "60000000"))
 
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
     results = {}
     # 32 first: its untimed setup phase generates the input parquet at full
-    # parallelism; the pinned 2- and 8-cpu runs then reuse the same files
+    # parallelism; the pinned 2- and 8-cpu runs then reuse the same files.
+    # median of N fresh-JVM trials per level — single runs vary ~±10% on
+    # this shared VM, enough to flip the headline ratio.
     for cpus in (32, 2, 8):
-        results[cpus] = run_bench(cpus, sf_dir, scaling_n)
+        runs = sorted(
+            (run_bench(cpus, sf_dir, scaling_n) for _ in range(trials)),
+            key=lambda r: r["value"],
+        )
+        med = runs[len(runs) // 2]
+        med["all_values"] = [r["value"] for r in runs]
+        results[cpus] = med
 
     eff_2_8 = results[8]["value"] / (4.0 * results[2]["value"])
     eff_8_32 = results[32]["value"] / (4.0 * results[8]["value"])
@@ -91,11 +100,11 @@ def main():
         "128-vertex polygons; blocked crossing-number PIP; map-side combine)",
         "-> groupBy sum.",
         "",
-        "| cpus (pinned) | wall s | throughput (joined rows/sec) |",
-        "|---|---|---|",
-        f"| 2 (N) | {r2['queries']['scaling_job']} | {r2['value']:,} |",
-        f"| 8 (4N) | {r8['queries']['scaling_job']} | {r8['value']:,} |",
-        f"| 32 (16N) | {r32['queries']['scaling_job']} | {r32['value']:,} |",
+        "| cpus (pinned) | wall s (median) | throughput (joined rows/sec, median of trials) | trials |",
+        "|---|---|---|---|",
+        f"| 2 (N) | {r2['queries']['scaling_job']} | {r2['value']:,} | {r2.get('all_values')} |",
+        f"| 8 (4N) | {r8['queries']['scaling_job']} | {r8['value']:,} | {r8.get('all_values')} |",
+        f"| 32 (16N) | {r32['queries']['scaling_job']} | {r32['value']:,} | {r32.get('all_values')} |",
         "",
         f"**Scaling efficiency N->4N (2->8 cores) = {eff_2_8:.3f}** (rule: >= 0.8).",
         f"Efficiency 8->32 cores = {eff_8_32:.3f} — capped by this single-VM's",
