@@ -94,3 +94,27 @@ def test_asof_join_semantics(spark):
     assert got[11] == 900  # only rts<=50 candidate
     assert got[20] is None  # key 2 has no right rows (left join keeps it)
     assert len(got) == 3
+
+
+def test_tile_pyramid_rollup_conserves_counts(spark):
+    import __spark_entry__ as e
+
+    out = e.queries()["tile_pyramid_rollup"](spark, "/root/testdata/sf0.001")
+    per_z = {r["z"]: r["s"] for r in out.groupBy("z").agg(F.sum("n").alias("s")).collect()}
+    assert set(per_z) == {8, 9, 10, 11, 12}
+    assert len(set(per_z.values())) == 1  # every pyramid level conserves the total
+
+
+def test_hex_cell_locality(spark):
+    from robosat_spark.functions.tiles import hex_cell
+
+    df = spark.createDataFrame(
+        [(0, -82.8200, 34.6780), (1, -82.8201, 34.6781), (2, -80.0, 36.0)],
+        "id LONG, lon DOUBLE, lat DOUBLE",
+    )
+    cells = {
+        r["id"]: r["h"]
+        for r in df.select("id", hex_cell(F.col("lon"), F.col("lat"), 1000.0).alias("h")).collect()
+    }
+    assert cells[0] == cells[1]  # ~15 m apart -> same 1 km hex
+    assert cells[0] != cells[2]  # ~300 km apart -> different
