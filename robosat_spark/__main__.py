@@ -1,0 +1,146 @@
+"""CLI dispatcher: the engine's analog of the reference's ``rs <tool>``
+(/root/reference/robosat/tools/__main__.py:22-59 — argparse subparsers,
+``args.func(args)``). Each subcommand is a thin wrapper: read parquet (or
+GeoJSON for features), call the operator, write parquet/GeoJSON.
+
+    python -m robosat_spark cover     --features F --zoom 14 --out O
+    python -m robosat_spark rasterize --features F --tiles T --zoom 18 --size 512 --out O
+    python -m robosat_spark predict   --masks M --out O
+    python -m robosat_spark features  --masks M --out O
+    python -m robosat_spark merge     --features F --threshold 25 --out O.geojson
+    python -m robosat_spark dedupe    --pred P --osm G --threshold 0.5 --out O
+    python -m robosat_spark assign    --pages P --features F --zoom 18 --out O
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _features(spark, path):
+    from .sources.fixtures import features_from_geojson
+
+    if path.endswith(".json") or path.endswith(".geojson"):
+        return features_from_geojson(spark, path)
+    return spark.read.parquet(path)
+
+
+def cmd_cover(spark, args):
+    from .operators.cover import cover
+    from .sources.sinks import write_tiles_csv
+
+    tiles = cover(_features(spark, args.features), args.zoom, keep_feature_id=False)
+    write_tiles_csv(tiles.select("x", "y", "z"), args.out)
+
+
+def cmd_rasterize(spark, args):
+    from .operators.rasterize import rasterize_masks
+    from .sources.fixtures import tiles_from_csv
+
+    tiles = tiles_from_csv(spark, args.tiles)
+    masks = rasterize_masks(spark, tiles, _features(spark, args.features), args.zoom, args.size)
+    masks.write.mode("overwrite").partitionBy("z", "x").parquet(args.out)
+
+
+def cmd_predict(spark, args):
+    from .operators.rasterize import probs_to_masks, synthesize_probs
+
+    masks = spark.read.parquet(args.masks)
+    probs_to_masks(synthesize_probs(masks, noise=args.noise)).write.mode(
+        "overwrite"
+    ).partitionBy("z", "x").parquet(args.out)
+
+
+def cmd_features(spark, args):
+    from .operators.features import extract_features, to_feature_table
+
+    masks = spark.read.parquet(args.masks)
+    feats = to_feature_table(extract_features(masks))
+    feats.write.mode("overwrite").parquet(args.out)
+
+
+def cmd_merge(spark, args):
+    from .operators.merge import merge_features
+    from .sources.sinks import save_feature_collection
+
+    merged = merge_features(spark, _features(spark, args.features), args.threshold)
+    out = merged.selectExpr(
+        "component AS feature_id", "'Polygon' AS kind", "component AS geom_id",
+        "rings", "map('area', cast(cast(area_m2 AS LONG) AS STRING)) AS props",
+    )
+    if args.out.endswith(".json") or args.out.endswith(".geojson"):
+        save_feature_collection(out, args.out)
+    else:
+        out.write.mode("overwrite").parquet(args.out)
+
+
+def cmd_dedupe(spark, args):
+    from .operators.dedupe import dedupe, dedupe_kept_features
+
+    pred = _features(spark, args.pred)
+    osm = _features(spark, args.osm)
+    verdicts = dedupe(spark, pred, osm, threshold=args.threshold)
+    dedupe_kept_features(pred, verdicts).write.mode("overwrite").parquet(args.out)
+
+
+def cmd_assign(spark, args):
+    from .operators.spatial_join import assign_salted
+
+    pages = spark.read.parquet(args.pages)
+    assigned = assign_salted(spark, pages, _features(spark, args.features), args.zoom)
+    assigned.write.mode("overwrite").parquet(args.out)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="robosat_spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("cover"); c.add_argument("--features", required=True)
+    c.add_argument("--zoom", type=int, required=True); c.add_argument("--out", required=True)
+    c.set_defaults(func=cmd_cover)
+
+    r = sub.add_parser("rasterize"); r.add_argument("--features", required=True)
+    r.add_argument("--tiles", required=True); r.add_argument("--zoom", type=int, required=True)
+    r.add_argument("--size", type=int, default=512); r.add_argument("--out", required=True)
+    r.set_defaults(func=cmd_rasterize)
+
+    pr = sub.add_parser("predict"); pr.add_argument("--masks", required=True)
+    pr.add_argument("--noise", type=float, default=0.02); pr.add_argument("--out", required=True)
+    pr.set_defaults(func=cmd_predict)
+
+    f = sub.add_parser("features"); f.add_argument("--masks", required=True)
+    f.add_argument("--out", required=True); f.set_defaults(func=cmd_features)
+
+    m = sub.add_parser("merge"); m.add_argument("--features", required=True)
+    m.add_argument("--threshold", type=float, required=True); m.add_argument("--out", required=True)
+    m.set_defaults(func=cmd_merge)
+
+    d = sub.add_parser("dedupe"); d.add_argument("--pred", required=True)
+    d.add_argument("--osm", required=True); d.add_argument("--threshold", type=float, default=0.5)
+    d.add_argument("--out", required=True); d.set_defaults(func=cmd_dedupe)
+
+    a = sub.add_parser("assign"); a.add_argument("--pages", required=True)
+    a.add_argument("--features", required=True); a.add_argument("--zoom", type=int, required=True)
+    a.add_argument("--out", required=True); a.set_defaults(func=cmd_assign)
+    return p
+
+
+def main(argv=None, spark=None):
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark(app=f"robosat_spark_{args.cmd}", cores=args.cores)
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        args.func(spark, args)
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,60 @@
+"""CLI dispatcher (`python -m robosat_spark <tool>`): the rs-tool chain
+cover -> rasterize -> predict -> features -> merge -> dedupe -> assign
+end-to-end over files, in-process with a shared session."""
+
+import pyspark.sql.functions as F
+
+from robosat_spark.__main__ import main
+
+
+def test_cli_full_chain(spark, tmp_path):
+    from robosat_spark.sources.fixtures import features
+    from robosat_spark.sources.pages import pages
+
+    ft_path = str(tmp_path / "features")
+    features(spark).filter(F.col("feature_id") < 2).write.parquet(ft_path)
+    pages_path = str(tmp_path / "pages")
+    pages(spark, 2000).write.parquet(pages_path)
+
+    cover_out = str(tmp_path / "tiles")
+    main(["cover", "--features", ft_path, "--zoom", "18", "--out", cover_out], spark=spark)
+    tiles = spark.read.schema("x INT, y INT, z INT").csv(cover_out)
+    n_tiles = tiles.count()
+    assert n_tiles > 0
+
+    masks_out = str(tmp_path / "masks")
+    main(["rasterize", "--features", ft_path, "--tiles", cover_out, "--zoom", "18",
+          "--size", "128", "--out", masks_out], spark=spark)
+    masks = spark.read.parquet(masks_out)
+    assert masks.count() == n_tiles
+
+    pred_out = str(tmp_path / "pred")
+    main(["predict", "--masks", masks_out, "--noise", "0.01", "--out", pred_out], spark=spark)
+    assert spark.read.parquet(pred_out).count() == n_tiles
+
+    feats_out = str(tmp_path / "vfeatures")
+    main(["features", "--masks", pred_out, "--out", feats_out], spark=spark)
+    vf = spark.read.parquet(feats_out)
+    assert vf.count() > 0 and "rings" in vf.columns
+
+    merged_out = str(tmp_path / "merged.geojson")
+    main(["merge", "--features", feats_out, "--threshold", "20", "--out", merged_out], spark=spark)
+    import json
+
+    fc = json.load(open(merged_out))
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) > 0
+
+    dedup_out = str(tmp_path / "kept")
+    main(["dedupe", "--pred", feats_out, "--osm", ft_path, "--threshold", "0.5",
+          "--out", dedup_out], spark=spark)
+    kept = spark.read.parquet(dedup_out)
+    # per-tile extraction yields tile-clipped fragments, so fragment-vs-
+    # whole IoU stays under the threshold and fragments are kept; the
+    # verdict path itself is golden-tested in test_mask_pipeline
+    assert 0 < kept.count() <= vf.count()
+    assert "feature_id" in kept.columns
+
+    assign_out = str(tmp_path / "assigned")
+    main(["assign", "--pages", pages_path, "--features", ft_path, "--zoom", "18",
+          "--out", assign_out], spark=spark)
+    assert spark.read.parquet(assign_out).count() > 0
