@@ -889,15 +889,15 @@ def oracle_sql() -> dict[str, str]:
 
     sql["sessionize_gaps"] = """
         WITH flagged AS (
-          SELECT user_id, ts,
+          SELECT user_id, event_id, ts,
                  CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ),
         sess AS (
           SELECT user_id, ts,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM flagged
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -933,10 +933,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["event_type_pivot"] = """
         SELECT user_id,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         FROM events GROUP BY user_id
     """
 
@@ -1008,10 +1008,10 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 2, 3
         )
         SELECT z, x, y, n FROM base
-        UNION ALL SELECT 11, x >> 1, y >> 1, SUM(n) FROM base GROUP BY 2, 3
-        UNION ALL SELECT 10, x >> 2, y >> 2, SUM(n) FROM base GROUP BY 2, 3
-        UNION ALL SELECT 9, x >> 3, y >> 3, SUM(n) FROM base GROUP BY 2, 3
-        UNION ALL SELECT 8, x >> 4, y >> 4, SUM(n) FROM base GROUP BY 2, 3
+        UNION ALL SELECT 11, x >> 1, y >> 1, CAST(SUM(n) AS BIGINT) FROM base GROUP BY 2, 3
+        UNION ALL SELECT 10, x >> 2, y >> 2, CAST(SUM(n) AS BIGINT) FROM base GROUP BY 2, 3
+        UNION ALL SELECT 9, x >> 3, y >> 3, CAST(SUM(n) AS BIGINT) FROM base GROUP BY 2, 3
+        UNION ALL SELECT 8, x >> 4, y >> 4, CAST(SUM(n) AS BIGINT) FROM base GROUP BY 2, 3
     """
 
     from robosat_spark.functions.tiles import hex_cell_sql

@@ -34,7 +34,8 @@ _REGISTRY: dict[str, Kernel] = {}
 def register(name: str, kind: str, fn: Callable, doc: str = "") -> Kernel:
     if kind not in {"scalar", "grouped", "expand", "source", "sink"}:
         raise ValueError(f"unknown kernel kind: {kind}")
-    k = Kernel(name, kind, fn, doc or (fn.__doc__ or "").strip().splitlines()[0] if fn.__doc__ else "")
+    d = doc or ((fn.__doc__ or "").strip().splitlines() or [""])[0]
+    k = Kernel(name, kind, fn, d)
     _REGISTRY[name] = k
     return k
 

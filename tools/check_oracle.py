@@ -2,6 +2,12 @@
 entry on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare
 row-count, schema (column names), and order-insensitive values.
 
+Values are compared through pandas on BOTH sides (Spark ``toPandas`` /
+DuckDB ``.df()``) including the pandas dtype per column — this mimics the
+driver's value-hash, which caught BIGINT-vs-HUGEINT width mismatches that a
+plain str() compare hides (round-1 lesson: event_type_pivot /
+tile_pyramid_rollup hashed differently purely on integer width).
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -13,20 +19,29 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def canon(rows, cols):
-    out = []
-    for r in rows:
+def canon_pdf(pdf):
+    """Order-insensitive canonical rows + dtype fingerprint from a pandas
+    DataFrame: columns sorted by name, floats rounded to 9, NaN/None
+    normalized."""
+    import pandas as pd
+
+    cols = sorted(pdf.columns)
+    dtypes = {}
+    for c in cols:
+        k = pdf[c].dtype.kind  # i/u -> int, f -> float, else object-ish
+        dtypes[c] = {"i": "int", "u": "int", "f": "float"}.get(k, "obj")
+    rows = []
+    for tup in pdf[cols].itertuples(index=False, name=None):
         vals = []
-        for c in sorted(cols):
-            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = repr(round(v, 9))
-            vals.append(str(v))
-        out.append("|".join(vals))
-    return sorted(out)
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                vals.append("NULL")
+            elif isinstance(v, float):
+                vals.append(repr(round(v, 9)))
+            else:
+                vals.append(str(v))
+        rows.append("|".join(vals))
+    return sorted(rows), dtypes
 
 
 def main():
@@ -51,30 +66,30 @@ def main():
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = sdf.collect()
+        spdf = sdf.toPandas()
         if name not in osql:
-            print(f"{name:<24} rows-only: {len(srows)} rows")
+            print(f"{name:<26} rows-only: {len(spdf)} rows")
             continue
-        ddf = con.execute(osql[name])
-        dcols = [d[0] for d in ddf.description]
-        drows = ddf.fetchall()
+        dpdf = con.execute(osql[name]).df()
         status = []
-        if sorted(scols) != sorted(dcols):
-            status.append(f"SCHEMA spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
-            status.append(f"ROWS spark={len(srows)} duck={len(drows)}")
-        if not status:
-            s = canon([r.asDict() for r in srows], scols)
-            d = canon(drows, dcols)
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            status.append(f"SCHEMA spark={sorted(spdf.columns)} duck={sorted(dpdf.columns)}")
+        elif len(spdf) != len(dpdf):
+            status.append(f"ROWS spark={len(spdf)} duck={len(dpdf)}")
+        else:
+            s, sdt = canon_pdf(spdf)
+            d, ddt = canon_pdf(dpdf)
+            if sdt != ddt:
+                mism = {c: (sdt[c], ddt[c]) for c in sdt if sdt[c] != ddt[c]}
+                status.append(f"DTYPES {mism}")
             if s != d:
                 diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
                 status.append(f"VALUES first-diffs={diff}")
         if status:
             failures.append(name)
-            print(f"{name:<24} FAIL  {' ; '.join(status)}")
+            print(f"{name:<26} FAIL  {' ; '.join(status)}")
         else:
-            print(f"{name:<24} OK    {len(srows)} rows")
+            print(f"{name:<26} OK    {len(spdf)} rows")
     print()
     print("FAILURES:", failures if failures else "none")
     return 1 if failures else 0
