@@ -272,6 +272,25 @@ def _q_knn(spark, sf_dir):
     return out.select("url", "feature_id", "rank", F.round("dist_deg", 9).alias("dist_deg"))
 
 
+def _q_knn_cells(spark, sf_dir):
+    """J8 kNN, the exact DISTRIBUTED plan: neighbor-cell explode + equi-join
+    on the cell key with per-point ring expansion until the kth candidate
+    provably beats anything outside the block — same result set as the
+    brute-force oracle (shares `knn`'s DuckDB twin), linear-shuffle plan."""
+    from robosat_spark.operators.knn import knn_cells
+    from robosat_spark.operators.spatial_join import geotagged_points
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+    from robosat_spark.sources.pages import pages_from_events
+
+    pts = geotagged_points(pages_from_events(spark, sf_dir), zoom=12)
+    sample = pts.filter(
+        (F.substring("url", 23, 8).cast("long") % 37) == 0
+    ).select("url", "lon", "lat")
+    ft = oracle_rect_features(spark)
+    out = knn_cells(spark, sample, ft, k=3, zoom=7)
+    return out.select("url", "feature_id", "rank", F.round("dist_deg", 9).alias("dist_deg"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     """Exact text dedup: hash-groupBy on normalized text, keep min doc_id."""
     from robosat_spark.functions.text import normalized_text
@@ -699,21 +718,33 @@ def _q_embedding_neardup(spark, sf_dir):
     )
 
 
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """The 100TB-scale embedding near-dup plan, oracle-gated end to end:
+    multi-table hyperplane-LSH bucket equi-joins (union of L hash joins —
+    no all-pairs BNLJ) + exact cosine refine >= 0.4. The DuckDB twin
+    replays the same deterministic buckets, so the value check covers the
+    bucketing AND the refine. Recall vs the exact all-pairs baseline is
+    quantified separately (tests/test_dedup_ann.py); ``embedding_neardup``
+    keeps the exact semantics at oracle scale."""
+    from robosat_spark.operators.ann import lsh_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    return lsh_neardup_pairs(v, threshold=0.4)
+
+
 def _q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: hamming distance over the 32-bit signatures
-    via xor + bit_count — all JVM, exact DuckDB twin."""
-    from robosat_spark.operators.dedup import simhash
+    """SimHash near-dup pairs at hamming <= 2, via chunk banding (pigeonhole:
+    3 chunks, <= 2 flipped bits => >= 1 chunk identical) — an equi self-join
+    on (chunk, value) + bit_count refine. Exact (same result set as the
+    all-pairs oracle) with a linear-shuffle plan: no BroadcastNestedLoopJoin
+    anywhere (asserted in tests/test_dedup_ann.py)."""
+    from robosat_spark.operators.dedup import simhash_pairs_banded
 
     docs = _t(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", simhash(F.col("text"), 32).alias("sh")).localCheckpoint(
-        eager=False
-    )
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).withColumn(
-        "hd", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    )
-    return pairs.filter(F.col("hd") <= 2).select("doc_a", "doc_b", "hd")
+    return simhash_pairs_banded(docs, bits=32, max_hd=2)
 
 
 def _q_sessionize_gaps(spark, sf_dir):
@@ -762,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_before_purchase": _q_asof_click_before_purchase,
         "event_type_pivot": _q_event_type_pivot,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "tile_encode": _q_tile_encode,
         "tile_adjacency": _q_tile_adjacency,
@@ -770,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_rollup": _q_tile_pyramid_rollup,
         "pip_assign": _q_pip_assign,
         "knn": _q_knn,
+        "knn_cells": _q_knn_cells,
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
         "token_stats": _q_token_stats,
@@ -948,6 +981,21 @@ def oracle_sql() -> dict[str, str]:
         WHERE sim >= 0.4
     """
 
+    from robosat_spark.functions.vectors import NEARDUP_LSH_SEEDS, lsh_bucket_sql
+
+    bucket_cols = ", ".join(
+        f"{lsh_bucket_sql('v', seeds)} AS b{t}" for t, seeds in enumerate(NEARDUP_LSH_SEEDS)
+    )
+    bucket_or = " OR ".join(f"a.b{t} = c.b{t}" for t in range(len(NEARDUP_LSH_SEEDS)))
+    sql["embedding_neardup_lsh"] = f"""
+        WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT id, v, {bucket_cols} FROM v)
+        SELECT id_a, id_b, ROUND(sim, 6) AS sim
+        FROM (SELECT a.id AS id_a, c.id AS id_b, list_cosine_similarity(a.v, c.v) AS sim
+              FROM b a JOIN b c ON a.id < c.id AND ({bucket_or}))
+        WHERE sim >= 0.4
+    """
+
     sql["dedup_simhash_pairs"] = f"""
         WITH s AS (SELECT doc_id, {simhash_sql(32)} AS sh FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1098,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["pip_assign_salted"] = sql["pip_assign"]
     sql["pip_assign_jvm"] = sql["pip_assign"]
+    sql["knn_cells"] = sql["knn"]
 
     tx_a, _, _ = _tile_sql(10, lon="x0")
     tx_b, _, _ = _tile_sql(10, lon="x1")

@@ -38,6 +38,30 @@ def l2_dist(a: Column, b: Column) -> Column:
     )
 
 
+# Deterministic multi-table plane seeds for the near-dup scale path:
+# L=4 tables x K=8 hyperplanes. Shared by the Spark plan and its DuckDB
+# twin (oracle_sql) so the bucket ids are engine-identical.
+NEARDUP_LSH_SEEDS = [
+    [round(0.5 + 0.37 * (t * 8 + k + 1), 4) for k in range(8)] for t in range(4)
+]
+
+
+def lsh_bucket_sql(vec: str, plane_seeds: list) -> str:
+    """DuckDB twin of ``lsh_bucket`` over a DOUBLE[] column expression
+    ``vec``: same sin-derived planes, same sign fold. Only the SIGN of each
+    projection feeds the bucket, so engine ulp differences in sin/sum are
+    immaterial unless a projection is exactly ~0 (probability ~0 for real
+    embeddings)."""
+    terms = []
+    for k, seed in enumerate(plane_seeds):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len({vec})), "
+            f"i -> {vec}[i] * sin({float(seed)!r} * i)))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << {k})")
+    return "(" + " | ".join(terms) + ")"
+
+
 def lsh_bucket(a: Column, plane_seeds: list, scale: float = 1000.0) -> Column:
     """Random-hyperplane LSH bucket id (sign pattern over K deterministic
     pseudo-planes). Plane k weight for dim i = fractional hash of (seed, i),

@@ -20,7 +20,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_sim
+from ..functions.vectors import NEARDUP_LSH_SEEDS, cosine_sim, lsh_bucket
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame, threshold: float = 0.4, seeds: list | None = None
+) -> DataFrame:
+    """-> (id_a, id_b, sim): embedding near-dup pairs found by multi-table
+    hyperplane LSH + exact cosine refine — the linear-shuffle scale path
+    (the all-pairs cross join of the exact baseline is O(n²) and dies at
+    web scale).
+
+    ``vectors``: (id LONG, v ARRAY<DOUBLE>). Each vector gets L bucket ids
+    (one per plane table, pure column expressions); candidates are pairs
+    sharing ANY table's bucket — L equi self-joins unioned, never a
+    BroadcastNestedLoopJoin (asserted in tests). Exact cosine >= threshold
+    refines candidates, so precision is 1.0; recall is the LSH collision
+    probability (quantified against the exact baseline in
+    tests/test_dedup_ann.py). Buckets are deterministic sin-derived planes
+    (functions.vectors.NEARDUP_LSH_SEEDS) so a DuckDB twin can replay the
+    exact candidate set."""
+    if seeds is None:
+        seeds = NEARDUP_LSH_SEEDS
+    buckets = vectors.select(
+        "id",
+        *[lsh_bucket(F.col("v"), tseeds).alias(f"b{t}") for t, tseeds in enumerate(seeds)],
+    ).localCheckpoint(eager=False)
+    parts = []
+    for t in range(len(seeds)):
+        a = buckets.select(F.col("id").alias("id_a"), F.col(f"b{t}").alias("bk"))
+        b = buckets.select(F.col("id").alias("id_b"), F.col(f"b{t}").alias("bk"))
+        parts.append(
+            a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.distinct()
+    va = vectors.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = vectors.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", cosine_sim(F.col("v_a"), F.col("v_b")))
+    )
+    return out.filter(F.col("sim") >= F.lit(threshold)).select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
+    )
 
 
 def ivf_assign(base: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFrame]:

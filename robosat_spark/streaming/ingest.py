@@ -49,13 +49,14 @@ def streaming_tile_counts(
 ) -> DataFrame:
     """Geotag -> tile encode -> tumbling-window counts per tile.
 
-    Reuses the exact batch expressions (spatial_join.geotagged_points is
-    batch-only because of mapInPandas downstream; the extraction/encode
-    columns themselves are engine-shared)."""
-    from ..functions.tiles import geotag_lat, geotag_lon, pack_tile_id, tile_x, tile_y
+    Reuses the exact batch expressions — the SAME ``geotag_*_fast``
+    variants as spatial_join.geotagged_points, so batch/stream parity holds
+    on any input, not just the fixture contract (the fast substring scan
+    and the regex variant disagree on non-trailing geo tokens)."""
+    from ..functions.tiles import geotag_lat_fast, geotag_lon_fast, pack_tile_id, tile_x, tile_y
 
-    lon = geotag_lon(F.col("text"))
-    lat = geotag_lat(F.col("text"))
+    lon = geotag_lon_fast(F.col("text"))
+    lat = geotag_lat_fast(F.col("text"))
     pts = (
         pages.withWatermark("warc_ts", watermark)
         .select("url", "warc_ts", lon.alias("lon"), lat.alias("lat"))

@@ -60,6 +60,42 @@ def test_knn_join_widens_for_sparse_features(spark, points):
     assert got == want
 
 
+def test_knn_cells_exact_sparse_and_dense(spark, points, dense_feats):
+    """knn_cells must equal brute force EXACTLY (ids AND ranks), both when
+    ring-1 suffices (dense) and when points must expand several rings or
+    fall through to the tail (sparse 2-feature case that breaks the old
+    smallest-sufficient-neighborhood heuristic)."""
+    from robosat_spark.operators.knn import knn_cells
+
+    for feats, k, zoom in [(dense_feats, 3, 13), (None, 2, 10)]:
+        if feats is None:
+            from robosat_spark.sources.fixtures import features
+
+            feats = features(spark).filter(F.col("feature_id") < 2)
+        want = {
+            (r["url"], r["rank"]): (r["feature_id"], round(r["dist_deg"], 9))
+            for r in knn_bruteforce(points, feats, k=k).collect()
+        }
+        got = {
+            (r["url"], r["rank"]): (r["feature_id"], round(r["dist_deg"], 9))
+            for r in knn_cells(spark, points, feats, k=k, zoom=zoom).collect()
+        }
+        assert got == want
+
+
+def test_knn_cells_plan_has_no_nested_loop_in_ring_rounds(spark, points, dense_feats):
+    """The ring rounds must be cell-key equi-joins; the only BNLJ allowed is
+    the tiny broadcast tail fallback (crossJoin of stragglers), which is
+    rank-bounded and explicitly exact."""
+    from robosat_spark.operators.knn import knn_cells
+
+    out = knn_cells(spark, points, dense_feats, k=3, zoom=13, max_doublings=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # ring-round joins are hash joins on (cx, cy); count BNLJ occurrences —
+    # exactly one is the sanctioned tail crossJoin
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
 def test_column_cell_encoders_match_kernels(spark):
     from robosat_spark.functions.tiles import morton_cell, quadkey
     from robosat_spark.kernels import mercator as M
