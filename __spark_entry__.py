@@ -608,15 +608,50 @@ def _q_class_weights(spark, sf_dir):
     return class_weights(class_histogram(masks, num_classes=2))
 
 
+def _merge_cluster_expected_area() -> tuple[int, float]:
+    """(min feature_id, analytic merged area in m²) of the fixture
+    merge-cluster: 3 rects with 9 m gaps < 2x the 20 m buffer, so the
+    morphological closing is the bounding rect of the union up to ~0.5 m
+    mouth notches (g²/8r) — analytic equal-area (Mollweide) m² of that
+    bounding rect is the expected area within a small tolerance."""
+    import numpy as np
+
+    from robosat_spark.kernels.geometry import polygon_area_m2
+    from robosat_spark.sources.fixtures import build_feature_rows
+
+    boxes = [
+        (fid, bbox)
+        for fid, _k, _g, _r, bbox, props in build_feature_rows()
+        if props.get("src") == "merge-cluster"
+    ]
+    min_fid = min(f for f, _ in boxes)
+    x0 = min(b[0] for _, b in boxes)
+    y0 = min(b[1] for _, b in boxes)
+    x1 = max(b[2] for _, b in boxes)
+    y1 = max(b[3] for _, b in boxes)
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    return min_fid, polygon_area_m2(ring)
+
+
 def _q_feature_merge(spark, sf_dir):
     """rs merge e2e on the fixture cluster: adjacency join + connected
-    components + per-component union. Non-SQL — rows-only check."""
+    components + per-component union. Value-checked: component label
+    (= min member feature_id) and member count are pinned exactly by the
+    oracle; the raster-union area is checked against the ANALYTIC closing
+    area (bounding rect of the 3-rect cluster in equal-area m²) within 5%
+    — the raster/contour/simplify chain has pixel-level noise, so the
+    tolerance verdict is computed Spark-side and pinned as a boolean."""
     from robosat_spark.operators.merge import merge_features
     from robosat_spark.sources.fixtures import features as fixture_features
 
     ft = fixture_features(spark).filter(F.col("props")["src"] == "merge-cluster")
     merged = merge_features(spark, ft, threshold_m=20.0)
-    return merged.select("component", "n_members", F.round("area_m2", 0).alias("area_m2"))
+    _, expected = _merge_cluster_expected_area()
+    return merged.select(
+        "component",
+        "n_members",
+        (F.abs(F.col("area_m2") - F.lit(expected)) / F.lit(expected) < 0.05).alias("area_ok"),
+    )
 
 
 def _q_seg_metrics(spark, sf_dir):
@@ -1233,6 +1268,47 @@ def oracle_sql() -> dict[str, str]:
                           THEN GREATEST(TRY_CAST(width_tag AS DOUBLE), 1.0)
                           ELSE lsh + lane_width * lanes_eff + rsh END, 6) AS width_m
         FROM l
+    """
+
+    # dedupe_iou: the fixture pairs are axis-aligned lon/lat rects sharing a
+    # latitude band, so IoU is EXACT rect-overlap arithmetic — and because
+    # the two shapes of a pair span the same latitudes, the degree-space
+    # ratio equals the equal-area (Mollweide) ratio the engine computes
+    # (the sin-lat factor cancels). Rect corners are inlined from the SAME
+    # fixture builder the Spark query reads.
+    from robosat_spark.sources.fixtures import build_feature_rows
+
+    _iou_pairs: dict[int, dict[str, tuple]] = {}
+    for _fid, _k, _g, _r, _bbox, _props in build_feature_rows():
+        _src = _props.get("src", "")
+        if _src.startswith("ioupair-"):
+            _, _idx, _ab = _src.split("-")
+            _iou_pairs.setdefault(int(_idx), {})[_ab] = (_fid, _bbox)
+    iou_vals = ", ".join(
+        f"({a_fid}, {a[0]!r}, {a[1]!r}, {a[2]!r}, {a[3]!r}, "
+        f"{b[0]!r}, {b[1]!r}, {b[2]!r}, {b[3]!r})"
+        for _idx, d in sorted(_iou_pairs.items())
+        for (a_fid, a), (_b_fid, b) in [(d["a"], d["b"])]
+    )
+    sql["dedupe_iou"] = f"""
+        WITH p(pred_id, ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) AS (VALUES {iou_vals}),
+        c AS (
+          SELECT pred_id,
+                 GREATEST(0.0, LEAST(ax1, bx1) - GREATEST(ax0, bx0))
+                   * GREATEST(0.0, LEAST(ay1, by1) - GREATEST(ay0, by0)) AS inter,
+                 (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) AS sums
+          FROM p)
+        SELECT CAST(pred_id AS BIGINT) AS pred_id,
+               ROUND(inter / (sums - inter), 2) AS iou,
+               inter / (sums - inter) < 0.5 AS keep
+        FROM c
+    """
+
+    _mc_fid, _ = _merge_cluster_expected_area()
+    sql["feature_merge"] = f"""
+        SELECT CAST({_mc_fid} AS BIGINT) AS component,
+               CAST(3 AS INT) AS n_members,
+               TRUE AS area_ok
     """
 
     sql["ann_ivf"] = """

@@ -275,6 +275,51 @@ def clip_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
     return output
 
 
+def is_convex(ring) -> bool:
+    """True iff the ring is convex (all edge-turn cross products share a
+    sign; collinear vertices allowed). Degenerate rings (<3 distinct
+    points) are not convex."""
+    r = open_ring(as_ring(ring))
+    if len(r) < 3:
+        return False
+    e = np.roll(r, -1, axis=0) - r
+    e2 = np.roll(e, -1, axis=0)
+    cross = e[:, 0] * e2[:, 1] - e[:, 1] * e2[:, 0]
+    return not (np.any(cross > 0.0) and np.any(cross < 0.0))
+
+
+def convex_iou(ring_a, ring_b) -> float:
+    """EXACT IoU of two CONVEX rings: Sutherland-Hodgman clip + shoelace,
+    in the same equal-area Mollweide domain as :func:`raster_iou` (parity
+    with the reference's project-then-area chain,
+    /root/reference/robosat/spatial/core.py:56-77). Exact arithmetic — no
+    sampling grid, no quantization — so near-threshold dedupe verdicts
+    (keep/drop at 0.5) are stable. Used by operators.dedupe as the fast
+    path when exactly one convex candidate intersects; raster_iou_multi
+    remains the general-polygon fallback (cross-checked within 0.02 in
+    tests/test_kernels_geometry.py)."""
+    a = open_ring(as_ring(ring_a))
+    b = open_ring(as_ring(ring_b))
+    if len(a) < 3 or len(b) < 3:
+        return 0.0
+
+    def proj(r):
+        x, y = project_mollweide(r[:, 0], r[:, 1])
+        return np.column_stack([x, y])
+
+    pa, pb = proj(a), proj(b)
+    area_a = abs(signed_area(pa))
+    area_b = abs(signed_area(pb))
+    inter_ring = clip_convex(pa, pb)
+    inter = abs(signed_area(inter_ring)) if len(inter_ring) >= 3 else 0.0
+    union = area_a + area_b - inter
+    if union <= 0.0:
+        return 0.0
+    iou = inter / union
+    assert -1e-12 <= iou <= 1.0 + 1e-12
+    return float(min(max(iou, 0.0), 1.0))
+
+
 def raster_iou(rings_a, rings_b, resolution: int = 512) -> float:
     """IoU of two polygons-with-holes via supersampled grid in Mollweide.
 

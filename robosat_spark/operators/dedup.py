@@ -122,8 +122,8 @@ def minhash_lsh_pairs(
     against EXACT all-pairs Jaccard at threshold 0.3, but a pair at j = 0.3
     only becomes a candidate with p ~ 0.78 — equality holds because the
     test corpora have a verified Jaccard GAP: no doc pair lands in
-    [0.25, 0.65) at sf0.001/sf0.01/sf0.1 (planted dups >= 0.889, where the
-    banding miss probability is ~2e-11; background < 0.25). On gapless real
+    [0.25, 0.65) at sf0.001/sf0.01/sf0.1 (planted dups >= 0.8, where the
+    banding miss probability is <= 1e-7; background < 0.25). On gapless real
     data, run with rows_per_band matched to the threshold (r=1 for
     guaranteed-recall low thresholds) and treat the output as
     approximate-recall/exact-precision."""

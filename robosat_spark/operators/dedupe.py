@@ -5,26 +5,34 @@ predicted shape, R-tree bbox candidates -> exact ``intersects`` refine ->
 union of intersecting OSM shapes -> keep when ``iou(pred, union) <
 threshold``; vacuous cases (no candidates / no intersecting) keep.
 
-Spark shape (J4), fully distributed: cell-grid LEFT OUTER join predicted x
-osm at ``cell_zoom`` with BOTH ring payloads flowing through the join (no
-driver-side collection — either side can be web-scale) ->
-groupBy(predicted).applyInPandas(intersects refine -> union -> IoU) ->
-filter. The predicate cascade is explicit: null-join short-circuit first,
-cheap exact-intersects second, expensive IoU only on survivors
-(dedupe.py:51-64 ordering, SURVEY.md §4).
+Spark shape (J4), fully distributed and shuffle-lean:
+
+  1. bbox cover cells at ``cell_zoom`` are derived as PURE COLUMN
+     EXPRESSIONS (bbox fold over the exterior ring + sequence/explode on
+     the tile range) — no Python pass, and crucially NO ring payload rides
+     the cell rows (round-1 review: replicating rings into every covering
+     cell amplified shuffle bytes by the cover factor);
+  2. candidate pairs come from the (cx, cy) equi LEFT OUTER join of the
+     two slim cell tables, deduped to (pred_id, osm_id);
+  3. ring payloads join onto the deduped pair set (merge.py shape), so
+     each ring crosses the shuffle once per PAIR, not once per cell;
+  4. groupBy(pred_id).applyInPandas: cheap exact ``intersects`` refine
+     first, then IoU only on survivors — EXACT convex clipping when a
+     single convex candidate intersects (the common building/rect case;
+     no quantization at the keep/drop threshold), supersampled raster IoU
+     for unions/holes/concave shapes
+     (dedupe.py:51-64 predicate-cascade ordering, SURVEY.md §4).
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.tiles import tile_x, tile_y
 from ..kernels import geometry as G
-from ..kernels import mercator as M
 
 DEDUP_SCHEMA = "pred_id LONG, iou DOUBLE, n_candidates INT, keep BOOLEAN"
 
@@ -35,28 +43,30 @@ def _rings_np(rings):
     ]
 
 
-def _cells_df(features: DataFrame, id_col: str, cell_zoom: int) -> DataFrame:
-    """(feature_id, rings) -> (id, cx, cy, rings): bbox cover cells at the
-    index zoom, ring payload carried along for the group-local refine."""
-    n = 1 << cell_zoom
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for fid, rings in zip(pdf["feature_id"], pdf["rings"]):
-                ext = _rings_np(rings)[0]
-                x0, y0 = M.lonlat_to_tile(ext[:, 0].min(), ext[:, 1].max(), cell_zoom)
-                x1, y1 = M.lonlat_to_tile(ext[:, 0].max(), ext[:, 1].min(), cell_zoom)
-                clean = [[list(map(float, p)) for p in ring] for ring in rings]
-                for cx in range(int(x0), min(int(x1), n - 1) + 1):
-                    for cy in range(int(y0), min(int(y1), n - 1) + 1):
-                        rows.append((fid, cx, cy, clean))
-            if rows:
-                yield pd.DataFrame(rows, columns=[id_col, "cx", "cy", "rings"])
-
-    return features.select("feature_id", "rings").mapInPandas(
-        gen, f"{id_col} LONG, cx LONG, cy LONG, rings ARRAY<ARRAY<ARRAY<DOUBLE>>>"
+def _cover_cells(features: DataFrame, id_col: str, cell_zoom: int) -> DataFrame:
+    """(feature_id, rings) -> (id, cx, cy): bbox cover cells at the index
+    zoom, all whole-stage codegen — bbox via an aggregate fold over the
+    exterior ring, the x/y tile ranges via sequence+explode. Payload-free
+    by design: rings join back onto the deduped PAIR set, never onto
+    cells."""
+    ext = F.element_at("rings", 1)
+    minx = F.aggregate(ext, F.lit(1e300), lambda a, p: F.least(a, p[0]))
+    miny = F.aggregate(ext, F.lit(1e300), lambda a, p: F.least(a, p[1]))
+    maxx = F.aggregate(ext, F.lit(-1e300), lambda a, p: F.greatest(a, p[0]))
+    maxy = F.aggregate(ext, F.lit(-1e300), lambda a, p: F.greatest(a, p[1]))
+    boxed = features.select(
+        F.col("feature_id").alias(id_col),
+        tile_x(minx, cell_zoom).alias("tx0"),
+        tile_x(maxx, cell_zoom).alias("tx1"),
+        tile_y(maxy, cell_zoom).alias("ty0"),
+        tile_y(miny, cell_zoom).alias("ty1"),
     )
+    return boxed.select(
+        id_col,
+        F.explode(F.sequence("tx0", "tx1")).alias("cx"),
+        F.col("ty0"),
+        F.col("ty1"),
+    ).select(id_col, "cx", F.explode(F.sequence("ty0", "ty1")).alias("cy"))
 
 
 def dedupe(
@@ -71,15 +81,20 @@ def dedupe(
 
     ``iou`` is 0.0 for vacuous keeps (no bbox candidates / none intersect),
     mirroring the reference's short-circuit keeps."""
-    pcells = _cells_df(predicted, "pred_id", cell_zoom).withColumnRenamed(
-        "rings", "pred_rings"
-    )
-    ocells = _cells_df(osm, "osm_id", cell_zoom).withColumnRenamed("rings", "osm_rings")
-    cand = (
+    pcells = _cover_cells(predicted, "pred_id", cell_zoom)
+    ocells = _cover_cells(osm, "osm_id", cell_zoom)
+    pairs = (
         pcells.join(ocells, ["cx", "cy"], "left_outer")
-        .select("pred_id", "pred_rings", "osm_id", "osm_rings")
+        .select("pred_id", "osm_id")
         .dropDuplicates(["pred_id", "osm_id"])
     )
+    pred_payload = predicted.select(
+        F.col("feature_id").alias("pred_id"), F.col("rings").alias("pred_rings")
+    )
+    osm_payload = osm.select(
+        F.col("feature_id").alias("osm_id"), F.col("rings").alias("osm_rings")
+    )
+    cand = pairs.join(pred_payload, "pred_id").join(osm_payload, "osm_id", "left_outer")
 
     def judge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
@@ -98,7 +113,16 @@ def dedupe(
         if not intersecting:  # none intersect -> keep (dedupe.py:58-59)
             return pd.DataFrame([(pid, 0.0, len(cands), True)],
                                 columns=["pred_id", "iou", "n_candidates", "keep"])
-        iou = G.raster_iou_multi([pred_rings], intersecting, resolution=iou_resolution)
+        if (
+            len(intersecting) == 1
+            and len(pred_rings) == 1
+            and len(intersecting[0]) == 1
+            and G.is_convex(pred_rings[0])
+            and G.is_convex(intersecting[0][0])
+        ):
+            iou = G.convex_iou(pred_rings[0], intersecting[0][0])
+        else:
+            iou = G.raster_iou_multi([pred_rings], intersecting, resolution=iou_resolution)
         return pd.DataFrame(
             [(pid, float(iou), len(cands), bool(iou < threshold))],
             columns=["pred_id", "iou", "n_candidates", "keep"],

@@ -97,3 +97,47 @@ def test_polygon_area_parking_plausible():
     # /root/reference/robosat/tools/merge.py:78-81)
     area = G.polygon_area_m2(_parking_rings()[0])
     assert 1e3 < area < 1e5
+
+
+def test_is_convex():
+    rect = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]
+    lshape = [[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]]
+    collinear = [[0.0, 0.0], [0.5, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]
+    assert G.is_convex(rect)
+    assert G.is_convex(rect[::-1])  # winding-independent
+    assert not G.is_convex(lshape)
+    assert G.is_convex(collinear)
+    assert not G.is_convex([[0.0, 0.0], [1.0, 1.0]])
+
+
+def test_convex_iou_analytic_goldens_and_raster_crosscheck():
+    """The fixture's planted overlap fractions: exact clipping must hit the
+    analytic IoU t/(2-t) to float precision, and the supersampled raster
+    IoU must agree within 0.02 (the item-7 cross-check: raster is the
+    general-polygon fallback, exact clip the convex fast path)."""
+    w, lat0 = 0.002, 34.666
+    for idx, t in enumerate([0.0, 6.0 / 13.0, 22.0 / 31.0, 18.0 / 19.0]):
+        lon0 = -82.806 + idx * 0.006
+        a = np.array([[lon0, lat0], [lon0 + w, lat0], [lon0 + w, lat0 + w],
+                      [lon0, lat0 + w], [lon0, lat0]])
+        b = a + np.array([w * (1.0 - t), 0.0])
+        exact = G.convex_iou(a, b)
+        assert abs(exact - t / (2.0 - t)) < 1e-6, (t, exact)
+        rast = G.raster_iou([a], [b], resolution=512)
+        assert abs(exact - rast) < 0.02, (t, exact, rast)
+
+
+def test_convex_iou_matches_raster_on_random_convex_pairs():
+    """Random convex (ellipse-sampled) pairs at varied overlap: the exact
+    clip and the raster estimate stay within the 0.02 sampling bound."""
+    ang = np.linspace(0.0, 2.0 * np.pi, 24, endpoint=False)
+    for k in range(6):
+        cx = -82.8 + 0.001 * k
+        r1 = 0.0010 + 0.0002 * (k % 3)
+        a = np.column_stack([cx + r1 * np.cos(ang), 34.7 + 0.7 * r1 * np.sin(ang)])
+        shift = 0.0004 * k
+        b = np.column_stack([cx + shift + r1 * np.cos(ang), 34.7 + 0.7 * r1 * np.sin(ang)])
+        exact = G.convex_iou(a, b)
+        rast = G.raster_iou([a], [b], resolution=512)
+        assert abs(exact - rast) < 0.02, (k, exact, rast)
+        assert 0.0 <= exact <= 1.0
