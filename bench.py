@@ -107,9 +107,11 @@ def main():
         "users_retained",
         "event_type_pivot",
         "asof_click_before_purchase",
-        # embedding_neardup / dedup_simhash_pairs are exact all-pairs
-        # correctness demos (O(n^2) by definition); their scale paths are
-        # the LSH prefilters benchmarked via the recall tests
+        # embedding_neardup stays out: the exact all-pairs correctness demo
+        # is O(n^2) by definition; its scale path is embedding_neardup_lsh
+        "embedding_neardup_lsh",
+        "dedup_simhash_pairs",  # banded (linear) since round 2
+        "knn_cells",
         "pip_assign_jvm",
         "dedup_exact",
         "dedup_minhash_lsh",
@@ -161,21 +163,40 @@ def main():
     flagship_sec = time.perf_counter() - t0
     timings["flagship_salted_5m"] = round(flagship_sec, 3)
 
+    payload = {
+        "metric": "pages_joined_per_sec",
+        "value": round(joined_rows / flagship_sec, 1),
+        "unit": "rows/sec",
+        "queries": timings,
+        "sf": None,
+        "cpus": cpus,
+        "joined_rows": joined_rows,
+    }
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "pages_joined_per_sec",
-                "value": round(joined_rows / flagship_sec, 1),
-                "unit": "rows/sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": cpus,
-                "joined_rows": joined_rows,
-            }
-        )
-    )
+    payload["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     spark.stop()
+
+    # round-over-round continuity (round-1 review item 10): the same query
+    # suite again at local[8] so future rounds can diff per-query times at
+    # BOTH parallelism levels, not just the 32-core headline. Fresh session
+    # (one JVM at a time); skip with SPARK_GRAFT_SKIP_8CPU=1 for quick runs.
+    if cpus != 8 and not os.environ.get("SPARK_GRAFT_SKIP_8CPU"):
+        spark8 = get_spark(app="robosat_spark_bench8", cores=8)
+        spark8.sparkContext.setLogLevel("ERROR")
+        spark8.range(1000).selectExpr("sum(id)").collect()
+        qs8 = entry.queries()
+        qs8["tile_encode"](spark8, sf_dir).limit(1).count()
+        timings8 = {}
+        for name in bench_queries:
+            if name not in qs8:
+                continue
+            t0 = time.perf_counter()
+            qs8[name](spark8, sf_dir).count()
+            timings8[name] = round(time.perf_counter() - t0, 3)
+        payload["queries_8cpu"] = timings8
+        spark8.stop()
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -10,6 +10,15 @@ GeoJSON for features), call the operator, write parquet/GeoJSON.
     python -m robosat_spark merge     --features F --threshold 25 --out O.geojson
     python -m robosat_spark dedupe    --pred P --osm G --threshold 0.5 --out O
     python -m robosat_spark assign    --pages P --features F --zoom 18 --out O
+    python -m robosat_spark subset    --tiles T.csv --masks M --out O
+    python -m robosat_spark masks     --probs P --out O
+    python -m robosat_spark compare   --masks M --truth T --out O
+    python -m robosat_spark weights   --masks M [--classes 2] [--out O]
+
+Reference tool parity: cover/rasterize/predict/masks/features/merge/dedupe/
+subset/compare/weights map to the 14-tool registry of
+/root/reference/robosat/tools/__main__.py:22-59 (train/export are out of
+scope per SURVEY §2.4; download/serve exist as source/operator APIs).
 """
 
 from __future__ import annotations
@@ -92,6 +101,61 @@ def cmd_assign(spark, args):
     assigned.write.mode("overwrite").parquet(args.out)
 
 
+def cmd_subset(spark, args):
+    """`rs subset` analog (/root/reference/robosat/tools/subset.py): keep
+    only the tiles named in the cover CSV — a broadcast left-semi join on
+    (z, x, y) instead of a filesystem copy loop."""
+    from pyspark.sql import functions as F
+
+    from .sources.fixtures import tiles_from_csv
+
+    tiles = tiles_from_csv(spark, args.tiles)
+    df = spark.read.parquet(args.masks)
+    out = df.join(F.broadcast(tiles), ["z", "x", "y"], "left_semi")
+    out.write.mode("overwrite").partitionBy("z", "x").parquet(args.out)
+
+
+def cmd_masks(spark, args):
+    """`rs masks` analog (/root/reference/robosat/tools/masks.py): quantized
+    probability grids -> argmax class masks (the multi-model soft-vote path
+    is `python -m robosat_spark predict` / operators.ensemble)."""
+    from .operators.rasterize import probs_to_masks
+
+    probs = spark.read.parquet(args.probs)
+    probs_to_masks(probs).write.mode("overwrite").partitionBy("z", "x").parquet(args.out)
+
+
+def cmd_compare(spark, args):
+    """`rs compare` analog (/root/reference/robosat/tools/compare.py): score
+    a mask set against truth — global confusion counts + mIoU/fgIoU/MCC
+    instead of side-by-side images (no codecs in this environment)."""
+    from .operators.ensemble import confusion_counts, segmentation_metrics
+
+    pred = spark.read.parquet(args.masks)
+    truth = spark.read.parquet(args.truth)
+    metrics = segmentation_metrics(confusion_counts(pred, truth))
+    if args.out:
+        metrics.write.mode("overwrite").parquet(args.out)
+    else:
+        for r in metrics.collect():
+            print(r.asDict())
+
+
+def cmd_weights(spark, args):
+    """`rs weights` analog (/root/reference/robosat/tools/weights.py):
+    class histogram over masks -> 1/ln(1.02+p) weights, printed like the
+    reference (and optionally written as parquet)."""
+    from .operators.weights import class_histogram, class_weights
+
+    masks = spark.read.parquet(args.masks)
+    out = class_weights(class_histogram(masks, num_classes=args.classes))
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    else:
+        rows = out.orderBy("class").collect()
+        print([round(r["weight"], 6) for r in rows])
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="robosat_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -124,6 +188,21 @@ def build_parser():
     a = sub.add_parser("assign"); a.add_argument("--pages", required=True)
     a.add_argument("--features", required=True); a.add_argument("--zoom", type=int, required=True)
     a.add_argument("--out", required=True); a.set_defaults(func=cmd_assign)
+
+    s = sub.add_parser("subset"); s.add_argument("--tiles", required=True)
+    s.add_argument("--masks", required=True); s.add_argument("--out", required=True)
+    s.set_defaults(func=cmd_subset)
+
+    mk = sub.add_parser("masks"); mk.add_argument("--probs", required=True)
+    mk.add_argument("--out", required=True); mk.set_defaults(func=cmd_masks)
+
+    cp = sub.add_parser("compare"); cp.add_argument("--masks", required=True)
+    cp.add_argument("--truth", required=True); cp.add_argument("--out", default=None)
+    cp.set_defaults(func=cmd_compare)
+
+    w = sub.add_parser("weights"); w.add_argument("--masks", required=True)
+    w.add_argument("--classes", type=int, default=2); w.add_argument("--out", default=None)
+    w.set_defaults(func=cmd_weights)
     return p
 
 

@@ -33,11 +33,13 @@ def class_palette(class_colors: list[str]) -> list[int]:
 
 def continuous_palette_for_color(name: str, bins: int = 256) -> list[int]:
     """Saturation ramp of one base color across ``bins`` entries — the
-    probability-raster palette (colors.py:70-95)."""
+    probability-raster palette. Bit-parity with colors.py:70-95: the ramp
+    targets FULL saturation ((i+1)/bins, ignoring the base color's own s)
+    and truncates with int(), exactly like the reference."""
     r, g, b = (v / 255.0 for v in COLORS[name])
-    h, s, v = colorsys.rgb_to_hsv(r, g, b)
+    h, _s, v = colorsys.rgb_to_hsv(r, g, b)
     flat: list[int] = []
     for i in range(bins):
-        rr, gg, bb = colorsys.hsv_to_rgb(h, (i + 1) / bins * s, v)
-        flat.extend([round(rr * 255), round(gg * 255), round(bb * 255)])
+        ns = (1.0 / bins) * (i + 1)
+        flat.extend(int(c * 255) for c in colorsys.hsv_to_rgb(h, ns, v))
     return flat

@@ -1,11 +1,14 @@
 """kNN page-points -> polygon features (J8, BASELINE.json named operator).
 
-Cell-neighborhood join: each point probes its own tile plus the 8-neighbor
-ring at a coarse zoom (the J6 halo pattern), candidates get an exact
-distance, and ``row_number() <= k`` per point keeps the k nearest. Points
-whose neighborhood is empty fall back to a widening ring (driver-side loop,
-doubling radius) so every point gets k neighbors — matching kNN semantics
-rather than 'k nearest within one tile'.
+``knn_cells`` is the scale path: per round, points explode into their
+(2r+1)² cell block and hash-join feature centroids on the cell key; a
+point resolves when its kth candidate provably beats anything outside the
+block, else the ring doubles — EXACT kNN with linear shuffles. (The
+round-1 ``knn_join`` variant — theta-predicate candidates + a
+smallest-sufficient-neighborhood heuristic that could miss a true
+neighbor just outside the ring — was removed in favor of this.)
+``knn_bruteforce`` is the O(P·F) reference plan, right when features are
+few.
 
 Distance is squared-chord on the equirectangular local projection (exact
 enough at city scale and monotone with true distance, so ranks are stable);
@@ -34,67 +37,6 @@ def feature_centroids(features: DataFrame) -> DataFrame:
         F.aggregate(
             "ring", F.lit(0.0), lambda acc, p: acc + p[1], lambda acc: acc / F.size("ring")
         ).alias("c_lat"),
-    )
-
-
-def knn_join(
-    spark: SparkSession,
-    points: DataFrame,
-    features: DataFrame,
-    k: int = 3,
-    zoom: int = 14,
-    max_rings: int = 6,
-) -> DataFrame:
-    """points(url, lon, lat) x features -> k nearest features per point.
-
-    -> DataFrame(url, lon, lat, feature_id, dist_deg, rank)."""
-    cents = feature_centroids(features)
-    # centroid tiles at the probe zoom — tiny table, broadcast by Catalyst
-    cents = cents.withColumn("cx", tile_x(F.col("c_lon"), zoom)).withColumn(
-        "cy", tile_y(F.col("c_lat"), zoom)
-    )
-    pts = points.withColumn("px", tile_x(F.col("lon"), zoom)).withColumn(
-        "py", tile_y(F.col("lat"), zoom)
-    )
-
-    remaining = pts
-    matched_parts = []
-    ring = 1
-    while ring <= max_rings:
-        cand = remaining.join(
-            F.broadcast(cents),
-            (F.abs(F.col("px") - F.col("cx")) <= ring) & (F.abs(F.col("py") - F.col("cy")) <= ring),
-            "left",
-        )
-        # local-projection squared distance (lat-scaled lon)
-        coslat = F.cos(F.radians(F.col("lat")))
-        d2 = (
-            ((F.col("lon") - F.col("c_lon")) * coslat) ** 2 + (F.col("lat") - F.col("c_lat")) ** 2
-        )
-        cand = cand.withColumn("d2", d2)
-        # a point resolves only once it sees >= k candidates in its ring;
-        # otherwise it retries with the doubled ring (ANN semantics: the
-        # k from the smallest sufficient neighborhood — knn_bruteforce is
-        # the exact oracle)
-        cw = Window.partitionBy("url")
-        cand = cand.withColumn("n_cand", F.count("feature_id").over(cw))
-        hit = cand.filter(F.col("n_cand") >= k).drop("n_cand")
-        matched_parts.append(hit)
-        remaining = cand.filter(F.col("n_cand") < k).select(pts.columns).distinct()
-        # Driver-side early exit costs an action per ring; instead we run a
-        # fixed doubling schedule and stop when the ring covers the world at
-        # this zoom — empty DataFrames are free after AQE prunes them.
-        if ring >= (1 << zoom):
-            break
-        ring *= 2
-
-    all_cand = matched_parts[0]
-    for part in matched_parts[1:]:
-        all_cand = all_cand.unionByName(part)
-    w = Window.partitionBy("url").orderBy(F.col("d2").asc(), F.col("feature_id").asc())
-    ranked = all_cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-    return ranked.select(
-        "url", "lon", "lat", "feature_id", F.sqrt("d2").alias("dist_deg"), "rank"
     )
 
 
@@ -212,7 +154,7 @@ def knn_cells(
 
 def knn_bruteforce(points: DataFrame, features: DataFrame, k: int = 3) -> DataFrame:
     """Reference implementation: full cross join + window. O(P*F) — the
-    correctness oracle for ``knn_join`` and the right plan when features
+    correctness oracle for ``knn_cells`` and the right plan when features
     are few (broadcast NL join)."""
     cents = feature_centroids(features)
     coslat = F.cos(F.radians(F.col("lat")))

@@ -330,6 +330,75 @@ def assign_jvm(
     )
 
 
+def assign_distributed(
+    spark: SparkSession, pages: DataFrame, features: DataFrame, zoom: int
+) -> DataFrame:
+    """Fully distributed cover equi-join PIP: the feature side is exploded
+    to (tile_id, feature_id, rings) and hash/sort-merge-joined on tile_id —
+    NO broadcast, NO driver collect — so the polygon side can itself be
+    web-scale (the one case the broadcast-index paths cannot serve). Same
+    codegen crossing-number refine as ``assign_jvm``."""
+    from .cover import cover_tile_ids
+
+    cand_feats = cover_tile_ids(features, zoom).join(
+        features.select("feature_id", "rings"), "feature_id"
+    )
+    pts = geotagged_points(pages, zoom)
+    cand = pts.join(
+        cand_feats,
+        (pts["tile_id"] == cand_feats["tile_id"])
+        & point_in_rings(pts["lon"], pts["lat"], cand_feats["rings"]),
+    )
+    return cand.select(
+        "url", "warc_ts", "lon", "lat", pts["tile_id"].alias("tile_id"), "feature_id"
+    )
+
+
+def estimate_feature_bytes(features: DataFrame) -> int:
+    """One tiny aggregation on the (small-side) feature table: vertex count
+    -> rough in-memory index size (16 B/vertex + 96 B/feature overhead for
+    dict slots and ndarray headers)."""
+    row = features.select(
+        F.count("*").alias("n"),
+        F.sum(
+            F.aggregate("rings", F.lit(0), lambda acc, r: acc + F.size(r))
+        ).alias("verts"),
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    verts = int(row["verts"] or 0)
+    return verts * 16 + n * 96
+
+
+def choose_assign_strategy(
+    features: DataFrame, max_broadcast_bytes: int = 64 << 20
+) -> str:
+    """'broadcast' when the collected feature index comfortably fits the
+    driver/executor broadcast budget, else 'distributed'. Kept separate
+    from ``assign_auto`` so the decision is unit-testable."""
+    return (
+        "broadcast"
+        if estimate_feature_bytes(features) <= max_broadcast_bytes
+        else "distributed"
+    )
+
+
+def assign_auto(
+    spark: SparkSession,
+    pages: DataFrame,
+    features: DataFrame,
+    zoom: int,
+    max_broadcast_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Auto-select the physical strategy for the flagship join (review
+    item: don't make the caller guess): broadcast filter-refine while the
+    feature index fits in the broadcast budget, distributed cover equi-join
+    beyond it. Both produce identical rows (forced-path equality is
+    unit-tested in tests/test_skew_and_pipeline.py)."""
+    if choose_assign_strategy(features, max_broadcast_bytes) == "broadcast":
+        return assign_broadcast(spark, pages, features, zoom)
+    return assign_distributed(spark, pages, features, zoom)
+
+
 def assign_counts_per_tile(assigned: DataFrame) -> DataFrame:
     """Aggregate: pages per (tile, feature) — the flagship readout."""
     return assigned.groupBy("tile_id", "feature_id").agg(

@@ -96,9 +96,14 @@ def _register_builtins() -> None:
         ("assign_salted", spatial_join.assign_salted),
         ("assign_jvm", spatial_join.assign_jvm),
         ("assign_count_by_feature", spatial_join.assign_count_by_feature),
+        ("assign_distributed", spatial_join.assign_distributed),
+        ("assign_auto", spatial_join.assign_auto),
         ("knn_bruteforce", knn.knn_bruteforce),
+        ("knn_cells", knn.knn_cells),
         ("ann_ivf", ann.ann_ivf),
+        ("lsh_neardup_pairs", ann.lsh_neardup_pairs),
         ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
+        ("simhash_pairs_banded", dedup.simhash_pairs_banded),
         ("asof_join", asof.asof_join),
         ("ann_ivf_from_index", ann.ann_ivf_from_index),
         ("streaming_tile_state", stateful.streaming_tile_state),

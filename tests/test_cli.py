@@ -58,3 +58,32 @@ def test_cli_full_chain(spark, tmp_path):
     main(["assign", "--pages", pages_path, "--features", ft_path, "--zoom", "18",
           "--out", assign_out], spark=spark)
     assert spark.read.parquet(assign_out).count() > 0
+
+    # subset: keep only the first 2 cover tiles
+    small_csv = str(tmp_path / "subset.csv")
+    with open(small_csv, "w") as fh:
+        for r in tiles.limit(2).collect():
+            fh.write(f"{r['x']},{r['y']},{r['z']}\n")
+    subset_out = str(tmp_path / "subset_masks")
+    main(["subset", "--tiles", small_csv, "--masks", masks_out, "--out", subset_out],
+         spark=spark)
+    assert spark.read.parquet(subset_out).count() == 2
+
+    # masks: probs -> argmax masks (predict output doubles as probs input)
+    masks2_out = str(tmp_path / "masks2")
+    main(["masks", "--probs", masks_out, "--out", masks2_out], spark=spark)
+    assert spark.read.parquet(masks2_out).count() == n_tiles
+
+    # compare: prediction vs truth -> one metrics row with sane bounds
+    cmp_out = str(tmp_path / "metrics")
+    main(["compare", "--masks", pred_out, "--truth", masks_out, "--out", cmp_out],
+         spark=spark)
+    m = spark.read.parquet(cmp_out).collect()
+    assert len(m) == 1 and 0.0 <= m[0]["miou"] <= 1.0
+
+    # weights: two classes, weights positive, background outweighed
+    w_out = str(tmp_path / "weights")
+    main(["weights", "--masks", masks_out, "--classes", "2", "--out", w_out], spark=spark)
+    w = {r["class"]: r["weight"] for r in spark.read.parquet(w_out).collect()}
+    assert set(w) == {0, 1} and all(v > 0 for v in w.values())
+    assert w[1] > w[0]  # foreground is rarer -> larger weight

@@ -1,11 +1,11 @@
-"""knn_join (cell-neighborhood + widening ring) vs brute force; Column
-cell encoders vs kernel twins."""
+"""knn_cells (cell-block equi-join + exactness bound) vs brute force;
+Column cell encoders vs kernel twins."""
 
 import numpy as np
 import pyspark.sql.functions as F
 import pytest
 
-from robosat_spark.operators.knn import knn_bruteforce, knn_join
+from robosat_spark.operators.knn import knn_bruteforce
 
 
 @pytest.fixture(scope="module")
@@ -22,42 +22,6 @@ def dense_feats(spark):
     from robosat_spark.sources.fixtures import dense_polygon_features
 
     return dense_polygon_features(spark, n=100, vertices=16, grid=10)
-
-
-def test_knn_join_matches_bruteforce_when_dense(spark, points, dense_feats):
-    """With features denser than the probe cells, ring-1 already sees >= k
-    candidates and the smallest-sufficient-neighborhood answer IS exact."""
-    exact = {
-        (r["url"], r["rank"]): r["feature_id"]
-        for r in knn_bruteforce(points, dense_feats, k=3).collect()
-    }
-    cells = {
-        (r["url"], r["rank"]): r["feature_id"]
-        for r in knn_join(spark, points, dense_feats, k=3, zoom=13).collect()
-    }
-    assert set(cells) == set(exact)
-    agree = sum(cells[k] == exact[k] for k in exact)
-    # rank-1 must always agree (nearest is inside any sufficient ring)
-    assert all(cells[(u, 1)] == exact[(u, 1)] for (u, r) in exact if r == 1)
-    assert agree / len(exact) > 0.95
-
-
-def test_knn_join_widens_for_sparse_features(spark, points):
-    from robosat_spark.sources.fixtures import features
-
-    # only the 2 reference parking polygons near the probe area -> every
-    # point must widen its ring until both are visible
-    feats = features(spark).filter(F.col("feature_id") < 2)
-    out = knn_join(spark, points, feats, k=2, zoom=14, max_rings=1 << 14).collect()
-    per_url = {}
-    for r in out:
-        per_url.setdefault(r["url"], []).append(r)
-    assert len(per_url) == 60
-    assert all(len(v) == 2 for v in per_url.values())
-    exact = knn_bruteforce(points, feats, k=2).collect()
-    want = {(r["url"], r["rank"]): r["feature_id"] for r in exact}
-    got = {(r["url"], r["rank"]): r["feature_id"] for r in out}
-    assert got == want
 
 
 def test_knn_cells_exact_sparse_and_dense(spark, points, dense_feats):

@@ -34,10 +34,12 @@ def test_palettes():
     assert pal == [48, 96, 176, 255, 127, 14]
     cont = continuous_palette_for_color("denim", bins=4)
     assert len(cont) == 12
-    # last bin is the full-saturation base color
-    assert tuple(cont[-3:]) == COLORS["denim"]
-    # saturation ramps toward the base color (blue channel max throughout)
+    # reference bit-parity (colors.py:70-95): ramp to FULL saturation with
+    # int() truncation — last bin is full-sat denim hue, not the base color
+    assert cont == [131, 148, 176, 88, 121, 176, 44, 93, 176, 0, 65, 176]
+    # value channel (blue for denim's hue) constant across the ramp
     assert cont[2] == cont[5] == cont[8] == cont[11] == 176
+    assert COLORS["denim"] == (48, 96, 176)
 
 
 def test_lookup_tile_partition_pruned(spark, tmp_path):

@@ -100,3 +100,31 @@ def test_checkpointed_mask_pipeline_resume(spark, tmp_path):
         F.sum("rows").alias("rows")).select(F.col("stage"), F.col("rows")).collect()}
     assert per_stage["tiles"] == 8 and per_stage["masks"] == 8 and per_stage["pred"] == 8
     assert per_stage["features"] == n1
+
+
+def test_assign_auto_forces_both_paths_identical(spark):
+    """Auto strategy selection (round-1 review item 9): broadcast and
+    distributed paths must return identical row sets, and the budget knob
+    must actually flip the choice."""
+    from robosat_spark.operators.spatial_join import (
+        assign_auto,
+        choose_assign_strategy,
+        estimate_feature_bytes,
+    )
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+    from robosat_spark.sources.pages import pages_from_events
+
+    pg = pages_from_events(spark, "/root/testdata/sf0.001")
+    ft = oracle_rect_features(spark)
+
+    est = estimate_feature_bytes(ft)
+    assert est > 0
+    assert choose_assign_strategy(ft, max_broadcast_bytes=est + 1) == "broadcast"
+    assert choose_assign_strategy(ft, max_broadcast_bytes=est - 1) == "distributed"
+
+    cols = ["url", "feature_id"]
+    bc = assign_auto(spark, pg, ft, zoom=7, max_broadcast_bytes=64 << 20)
+    dist = assign_auto(spark, pg, ft, zoom=7, max_broadcast_bytes=1)
+    got_bc = sorted(map(tuple, bc.select(*cols).collect()))
+    got_dist = sorted(map(tuple, dist.select(*cols).collect()))
+    assert got_bc == got_dist and len(got_bc) > 0

@@ -39,7 +39,13 @@ def canon_pdf(pdf):
             elif isinstance(v, float):
                 vals.append(repr(round(v, 9)))
             else:
-                vals.append(str(v))
+                s = str(v)
+                # DuckDB DATE -> pandas datetime64 prints a midnight time;
+                # Spark to_date -> datetime.date doesn't. Strip it on both
+                # sides (driver's hash treats them as equal — r1 evidence).
+                if s.endswith(" 00:00:00"):
+                    s = s[:-9]
+                vals.append(s)
         rows.append("|".join(vals))
     return sorted(rows), dtypes
 
