@@ -17,10 +17,11 @@ Spark shape (J4), fully distributed and shuffle-lean:
   3. ring payloads join onto the deduped pair set (merge.py shape), so
      each ring crosses the shuffle once per PAIR, not once per cell;
   4. groupBy(pred_id).applyInPandas: cheap exact ``intersects`` refine
-     first, then IoU only on survivors — EXACT convex clipping when a
-     single convex candidate intersects (the common building/rect case;
-     no quantization at the keep/drop threshold), supersampled raster IoU
-     for unions/holes/concave shapes
+     first, then IoU only on survivors — EXACT clipping IoU
+     (triangulation + convex clip, concave/holed polygons included) when
+     a single candidate intersects, so keep/drop verdicts at the 0.5
+     threshold carry no raster quantization; supersampled raster IoU for
+     multi-candidate unions and degenerate rings
      (dedupe.py:51-64 predicate-cascade ordering, SURVEY.md §4).
 """
 
@@ -113,15 +114,16 @@ def dedupe(
         if not intersecting:  # none intersect -> keep (dedupe.py:58-59)
             return pd.DataFrame([(pid, 0.0, len(cands), True)],
                                 columns=["pred_id", "iou", "n_candidates", "keep"])
-        if (
-            len(intersecting) == 1
-            and len(pred_rings) == 1
-            and len(intersecting[0]) == 1
-            and G.is_convex(pred_rings[0])
-            and G.is_convex(intersecting[0][0])
-        ):
-            iou = G.convex_iou(pred_rings[0], intersecting[0][0])
-        else:
+        iou = None
+        if len(intersecting) == 1:
+            # exact clipping IoU (triangulate + convex clip; concave and
+            # holed polygons included) — no quantization at the keep/drop
+            # threshold; None on degenerate triangulation -> raster
+            iou = G.exact_iou(pred_rings, intersecting[0])
+        if iou is None:
+            # multi-candidate unions (overlap inclusion-exclusion across
+            # candidates is not worth exactness) and degenerate rings take
+            # the supersampled raster path
             iou = G.raster_iou_multi([pred_rings], intersecting, resolution=iou_resolution)
         return pd.DataFrame(
             [(pid, float(iou), len(cands), bool(iou < threshold))],

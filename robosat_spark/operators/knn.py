@@ -60,7 +60,7 @@ def knn_cells(
     features: DataFrame,
     k: int = 3,
     zoom: int = 7,
-    max_doublings: int = 5,
+    max_doublings: int = 3,
 ) -> DataFrame:
     """EXACT distributed kNN via neighbor-cell equi-joins (the scale path;
     ``knn_bruteforce`` is the O(P·F) oracle it must match).

@@ -141,3 +141,54 @@ def test_convex_iou_matches_raster_on_random_convex_pairs():
         rast = G.raster_iou([a], [b], resolution=512)
         assert abs(exact - rast) < 0.02, (k, exact, rast)
         assert 0.0 <= exact <= 1.0
+
+
+def test_triangulate_partitions_area():
+    """Ear-clipping triangle areas must sum EXACTLY (float-exactly up to
+    accumulation order) to the polygon area, convex and concave."""
+    rect = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]])
+    lshape = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], dtype=float)
+    star = np.array(
+        [[0, 0], [2, 0.8], [4, 0], [3.2, 2], [4, 4], [2, 3.2], [0, 4], [0.8, 2]],
+        dtype=float,
+    )
+    for ring in (rect, lshape, star):
+        tris = G.triangulate(ring)
+        assert tris is not None
+        got = sum(abs(G.signed_area(t)) for t in tris)
+        assert abs(got - abs(G.signed_area(ring))) < 1e-9
+
+
+def test_exact_iou_concave_and_holed_vs_raster():
+    """General-polygon exact IoU (triangulate + convex clip): analytic
+    goldens on concave/holed cases, and the raster fallback agrees within
+    its 0.02 sampling bound (item-7 cross-check at general shapes)."""
+    s = 0.001
+    lon0, lat0 = -82.83, 34.67
+    lshape = np.array(
+        [[lon0, lat0], [lon0 + 2 * s, lat0], [lon0 + 2 * s, lat0 + s],
+         [lon0 + s, lat0 + s], [lon0 + s, lat0 + 2 * s], [lon0, lat0 + 2 * s]]
+    )
+    # rect covering the L's bounding box: inter = L area (3 s^2 in degree
+    # space), union = rect (4 s^2) -> IoU = 3/4 (lat-band scaling ~cancels
+    # at this size; allow 1e-3)
+    rect = np.array([[lon0, lat0], [lon0 + 2 * s, lat0],
+                     [lon0 + 2 * s, lat0 + 2 * s], [lon0, lat0 + 2 * s]])
+    exact = G.exact_iou([lshape], [rect])
+    assert exact is not None and abs(exact - 0.75) < 1e-3
+    rast = G.raster_iou([lshape], [rect], resolution=512)
+    assert abs(exact - rast) < 0.02
+
+    # holed square vs the same square unholed: IoU = (1 - hole share)
+    outer = np.array([[lon0, lat0], [lon0 + 4 * s, lat0],
+                      [lon0 + 4 * s, lat0 + 4 * s], [lon0, lat0 + 4 * s]])
+    hole = np.array([[lon0 + s, lat0 + s], [lon0 + 3 * s, lat0 + s],
+                     [lon0 + 3 * s, lat0 + 3 * s], [lon0 + s, lat0 + 3 * s]])
+    exact_h = G.exact_iou([outer, hole], [outer])
+    assert exact_h is not None and abs(exact_h - 0.75) < 1e-3
+    rast_h = G.raster_iou([outer, hole], [outer], resolution=512)
+    assert abs(exact_h - rast_h) < 0.02
+
+    # agreement with the convex fast path on a convex pair
+    shifted = rect + np.array([s, 0.0])
+    assert abs(G.exact_iou([rect], [shifted]) - G.convex_iou(rect, shifted)) < 1e-12
