@@ -61,7 +61,7 @@ def _register_builtins() -> None:
     from .operators import features as feat_ops
     from .operators import halo, knn, merge, rasterize, spatial_join, weights
     from .sources import fixtures, pages, sinks
-    from .streaming import stateful
+    from .streaming import ingest, stateful
 
     for name, fn in [
         ("tile_x", tiles.tile_x), ("tile_y", tiles.tile_y),
@@ -107,6 +107,7 @@ def _register_builtins() -> None:
         ("asof_join", asof.asof_join),
         ("ann_ivf_from_index", ann.ann_ivf_from_index),
         ("streaming_tile_state", stateful.streaming_tile_state),
+        ("streaming_dedup_exact", ingest.streaming_dedup_exact),
     ]:
         register(name, "grouped", fn)
 

@@ -41,6 +41,22 @@ def streaming_latest_snapshot(pages: DataFrame, watermark: str = "2 days") -> Da
     return pages.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
 
 
+def streaming_dedup_exact(pages: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming EXACT text dedup: drop documents whose normalized-text
+    md5 fingerprint was already seen within the watermark horizon — the
+    streaming member of the dedup family (the batch twin is the
+    ``dedup_exact`` gate query's hash-groupBy). State = one fingerprint
+    per distinct text inside the horizon; the fingerprint is the same
+    whole-stage-codegen expression as the batch path, so batch/stream
+    parity holds by construction."""
+    from ..functions.text import normalized_text
+
+    keyed = pages.withWatermark("warc_ts", watermark).withColumn(
+        "fp", F.md5(normalized_text(F.col("text")))
+    )
+    return keyed.dropDuplicates(["fp"])
+
+
 def streaming_tile_counts(
     pages: DataFrame,
     zoom: int = 12,

@@ -128,3 +128,19 @@ def test_assign_auto_forces_both_paths_identical(spark):
     got_bc = sorted(map(tuple, bc.select(*cols).collect()))
     got_dist = sorted(map(tuple, dist.select(*cols).collect()))
     assert got_bc == got_dist and len(got_bc) > 0
+
+
+def test_flagship_scan_prunes_payload_columns(spark, tmp_path):
+    """Plan audit: the flagship prep must prune the parquet scan to
+    (url, warc_ts, text) — the html payload and lang columns never leave
+    the scan (at 100 TB the html column is ~90% of the bytes)."""
+    from robosat_spark.operators.spatial_join import geotagged_points
+    from robosat_spark.sources.pages import pages
+
+    path = str(tmp_path / "pages")
+    pages(spark, 500).write.parquet(path)
+    pts = geotagged_points(spark.read.parquet(path), zoom=12)
+    plan = pts._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(line for line in plan.splitlines() if "FileScan" in line)
+    assert "html" not in scan_line and "lang" not in scan_line, scan_line
+    assert "url" in scan_line and "text" in scan_line

@@ -57,6 +57,26 @@ def test_streaming_dedup_urls(spark, pages_dir, tmp_path):
     assert n_rows == n_batch  # one row per url survived the streaming dedup
 
 
+def test_streaming_dedup_exact_matches_batch(spark, pages_dir, tmp_path):
+    """Streaming fingerprint dedup drains to exactly one row per distinct
+    normalized text — the batch dedup_exact key count."""
+    from robosat_spark.functions.text import normalized_text
+    from robosat_spark.streaming.ingest import streaming_dedup_exact
+
+    stream = streaming_pages(spark, pages_dir)
+    deduped = streaming_dedup_exact(stream).select("url", "fp")
+    run_available_now(deduped, str(tmp_path / "ckpt3"), "dedup_fp", mode="append")
+    n_rows = spark.sql("select count(*) from dedup_fp").collect()[0][0]
+    n_keys = spark.sql("select count(distinct fp) from dedup_fp").collect()[0][0]
+    n_batch = (
+        spark.read.parquet(pages_dir)
+        .select(F.md5(normalized_text(F.col("text"))).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert n_rows == n_keys == n_batch > 0
+
+
 def test_stateful_tile_counters_accumulate(spark, pages_dir, tmp_path):
     """applyInPandasWithState: running per-tile counters across
     micro-batches equal the batch groupBy on the same files."""
