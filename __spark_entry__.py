@@ -518,6 +518,44 @@ def _q_quality_score(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signal: share of duplicate
+    3-word shingles (1 - distinct/total). Templated/spammy text scores
+    high; all whole-stage codegen (split + slice/zip_with + array_distinct)."""
+    from robosat_spark.operators.dedup import word_shingles, words
+
+    docs = _t(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    total = F.greatest(F.size(w) - F.lit(2), F.lit(1))
+    distinct = F.size(word_shingles(F.col("text"), 3))
+    return docs.select(
+        "doc_id",
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct"),
+        F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6).alias(
+            "rep_ratio"
+        ),
+    )
+
+
+def _q_top_tokens(spark, sf_dir):
+    """Corpus-level token frequency top-k: explode -> hash agg (map-side
+    partials) -> orderBy+limit. The limit compiles to
+    TakeOrderedAndProject (each partition keeps k, driver merges k·p rows)
+    — never the single-partition global window a naive rank() gives.
+    Rank is then a trivial window over the 20 survivors."""
+    from robosat_spark.operators.dedup import words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words(F.lower(F.col("text")))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("token", "n", "rank")
+
+
 def _q_doc_fingerprint_rolling(spark, sf_dir):
     """Winnowing-style rolling-hash document fingerprint (pandas-UDF path;
     genuinely non-SQL — no oracle entry, rows-only check)."""
@@ -852,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "quality_score": _q_quality_score,
         "road_widths": _q_road_widths,
+        "repetition_stats": _q_repetition_stats,
+        "top_tokens": _q_top_tokens,
         "doc_fingerprint_rolling": _q_doc_fingerprint_rolling,
         "mask_vectorize": _q_mask_vectorize,
         "halo_stitch": _q_halo_stitch,
@@ -1208,6 +1248,27 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dedup_simhash"] = f"""
         SELECT doc_id, {simhash_sql(32)} AS simhash FROM documents
+    """
+
+    wsql = r"regexp_split_to_array(trim(text), '\s+')"
+    sql["repetition_stats"] = f"""
+        SELECT doc_id,
+               GREATEST(len({wsql}) - 2, 1) AS n_shingles,
+               len({shg}) AS n_distinct,
+               ROUND(1.0 - CAST(len({shg}) AS DOUBLE)
+                         / CAST(GREATEST(len({wsql}) - 2, 1) AS DOUBLE), 6) AS rep_ratio
+        FROM documents
+    """
+
+    sql["top_tokens"] = r"""
+        SELECT token, n, rank FROM (
+          SELECT token, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+          FROM (SELECT token, COUNT(*) AS n
+                FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                      FROM documents)
+                WHERE token != '' GROUP BY token))
+        WHERE rank <= 20
     """
 
     sql["dedup_clusters"] = f"""
