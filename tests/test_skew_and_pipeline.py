@@ -144,3 +144,25 @@ def test_flagship_scan_prunes_payload_columns(spark, tmp_path):
     scan_line = next(line for line in plan.splitlines() if "FileScan" in line)
     assert "html" not in scan_line and "lang" not in scan_line, scan_line
     assert "url" in scan_line and "text" in scan_line
+
+
+def test_assign_count_variants_identical(spark):
+    """The fused (no-shuffle) and salted-repartition count readouts must
+    produce identical (tile, feature, n) rows — the plan choice is pure
+    physics, never semantics."""
+    from robosat_spark.operators.spatial_join import assign_count_by_feature
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+    from robosat_spark.sources.pages import pages_from_events
+
+    pg = pages_from_events(spark, "/root/testdata/sf0.001")
+    ft = oracle_rect_features(spark)
+    fused = assign_count_by_feature(spark, pg, ft, zoom=7)
+    salted = assign_count_by_feature(spark, pg, ft, zoom=7, repartition_by_cell=True)
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) > 0
+    # fused plan's only exchange is the tiny final groupBy; the salted
+    # variant adds the full point repartition before the refine
+    plan_f = fused._jdf.queryExecution().executedPlan().toString()
+    plan_s = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan_f.count("Exchange") < plan_s.count("Exchange"), (plan_f, plan_s)
