@@ -2,12 +2,12 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata — the
 Spark-side contract a 100 TB training-data pipeline needs: schema, Arrow
-batch shape, partitioning, and UDF signatures are real and tested; the
-actual codec decode is STUBBED (this container has no image/audio libs) —
-``decode_image`` raises ``NotImplementedError`` unless the deterministic
-fake decoder is requested, which produces a seeded uint8 grid so downstream
-raster operators (resize, feature-extract, mask pipeline) can be exercised
-end-to-end.
+batch shape, partitioning, and UDF signatures are real and tested. PNG
+decode is REAL (the from-scratch stdlib-zlib codec in kernels.png — the
+only format the reference pipeline itself produces/consumes); other codecs
+(JPEG/WebP/video) need native libs absent in this container, so they raise
+``NotImplementedError`` unless the deterministic fake decoder is requested
+(seeded uint8 grid, same shape/dtype contract).
 
 Format sniffing is JVM-side (magic-byte prefix compare on the binary
 column), so scans that only need routing-by-format never deserialize
@@ -81,21 +81,43 @@ def decode_images(
 ) -> DataFrame:
     """binary column -> (key, h, w, channels, pixels) via Arrow batches.
 
-    ``fake=False`` raises NotImplementedError at plan-execution time: no
-    codec libraries ship in this environment. The Spark plumbing — column
-    pruning before the UDF, Arrow batch iteration, output schema — is the
-    real production shape either way."""
+    PNG payloads (magic-sniffed) decode for real via kernels.png —
+    palette PNGs yield the class-INDEX grid, matching the mask-pipeline
+    contract. Non-PNG payloads with ``fake=False`` raise
+    NotImplementedError at plan-execution time (JPEG/WebP need native libs
+    absent here); ``fake=True`` substitutes the deterministic stub. The
+    Spark plumbing — column pruning before the UDF, Arrow batch iteration,
+    output schema — is the real production shape either way."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.png import decode_png
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/cv2 (absent in this "
-                    "environment); pass fake=True for the deterministic stub"
-                )
             rows = []
             for key, payload in zip(pdf[key_col], pdf[data_col]):
-                grid = fake_decode_bytes(bytes(payload), h, w, channels)
+                payload = bytes(payload)
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        grid, _pal = decode_png(payload)
+                    except ValueError:
+                        # PNG magic but malformed body: stub it under
+                        # fake=True, surface the parse error otherwise
+                        if not fake:
+                            raise
+                    else:
+                        if grid.ndim == 2:
+                            grid = grid[:, :, None]
+                        rows.append(
+                            (key, grid.shape[0], grid.shape[1], grid.shape[2],
+                             grid.tobytes())
+                        )
+                        continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-PNG decode requires PIL/cv2 (absent in this "
+                        "environment); pass fake=True for the deterministic stub"
+                    )
+                grid = fake_decode_bytes(payload, h, w, channels)
                 rows.append((key, h, w, channels, grid.tobytes()))
             if rows:
                 yield pd.DataFrame(rows, columns=["key", "h", "w", "channels", "pixels"])

@@ -129,6 +129,7 @@ def _register_builtins() -> None:
         ("write_features_jsonl", sinks.write_features_jsonl),
         ("save_feature_collection", sinks.save_feature_collection),
         ("write_slippy_grids", sinks.write_slippy_grids),
+        ("write_slippy_pngs", sinks.write_slippy_pngs),
     ]:
         register(name, "sink", fn)
 

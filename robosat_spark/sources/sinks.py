@@ -59,13 +59,35 @@ def save_feature_collection(features: DataFrame, path: str, order_by=("feature_i
 
 
 def write_slippy_grids(masks: DataFrame, root: str) -> None:
-    """K4: slippy-map sink. The reference writes z/x/y.png via PIL
-    (rasterize.py:126-140); PNG codecs are absent here, so the engine-native
-    layout is parquet partitioned by (z, x) — the same z/x/ directory
-    convention, binary grid payloads, column-pruned reads for free. A PNG
-    export shim belongs at the edge (decode stub pattern,
-    functions.multimodal)."""
+    """K4 (engine-native layout): parquet partitioned by (z, x) — the same
+    z/x/ directory convention as slippy PNGs, binary grid payloads,
+    column-pruned reads for free. For byte-level reference parity use
+    :func:`write_slippy_pngs`."""
     masks.write.mode("overwrite").partitionBy("z", "x").parquet(root)
+
+
+def write_slippy_pngs(masks: DataFrame, root: str, palette: list[int] | None = None) -> None:
+    """K4 (reference-parity layout): z/x/y.png files, palette-indexed like
+    the reference's mask writer (/root/reference/robosat/tools/rasterize.py:126-140
+    — PIL P-mode with a class palette). Encoding is the from-scratch stdlib
+    zlib codec (kernels.png) inside ``foreachPartition`` — one task writes
+    its own tiles, no driver collection. ``root`` must be a path visible to
+    executors (local/NFS/fuse mount)."""
+    import numpy as np
+
+    cols = masks.select("z", "x", "y", "w", "h", "data")
+
+    def sink(rows):
+        from ..kernels.png import encode_png
+
+        for r in rows:
+            grid = np.frombuffer(r["data"], dtype=np.uint8).reshape(r["h"], r["w"])
+            d = os.path.join(root, str(r["z"]), str(r["x"]))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{r['y']}.png"), "wb") as f:
+                f.write(encode_png(grid, palette=palette))
+
+    cols.foreachPartition(sink)
 
 
 def read_slippy_grids(spark, root: str) -> DataFrame:

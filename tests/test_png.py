@@ -1,0 +1,123 @@
+"""From-scratch PNG codec: roundtrips, all decode filters, slippy e2e."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from robosat_spark.kernels.png import _SIG, _chunk, decode_png, encode_png
+
+
+def test_png_roundtrip_gray_rgb_palette():
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 256, size=(13, 7), dtype=np.uint8)
+    img, pal = decode_png(encode_png(gray))
+    assert pal is None and np.array_equal(img, gray)
+
+    rgb = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    img, pal = decode_png(encode_png(rgb))
+    assert pal is None and np.array_equal(img, rgb)
+
+    idx = rng.randint(0, 2, size=(16, 16), dtype=np.uint8)
+    palette = [255, 255, 255, 222, 184, 135]
+    img, pal = decode_png(encode_png(idx, palette=palette))
+    assert np.array_equal(img, idx)  # palette PNGs return the INDEX grid
+    assert pal == palette
+
+
+def _forward_filter(raw: np.ndarray, ftype: int, bpp: int = 1) -> bytes:
+    """Reference forward filtering (PNG spec) to craft decoder inputs."""
+    h, stride = raw.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = raw[y].astype(np.int32)
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            left = int(line[x - bpp]) if x >= bpp else 0
+            up = int(prev[x])
+            ul = int(raw[y - 1, x - bpp]) if (y > 0 and x >= bpp) else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            filt[x] = (line[x] - pred) & 0xFF
+        out.append(ftype)
+        out += bytes(filt.astype(np.uint8))
+        prev = line
+    return bytes(out)
+
+
+def test_png_decode_all_filter_types():
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(9)
+    raw = rng.randint(0, 256, size=(6, 10), dtype=np.uint8)
+    for ftype in range(5):
+        ihdr = struct.pack(">IIBBBBB", raw.shape[1], raw.shape[0], 8, 0, 0, 0, 0)
+        body = zlib.compress(_forward_filter(raw, ftype))
+        png = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", body) + _chunk(b"IEND", b"")
+        img, _ = decode_png(png)
+        assert np.array_equal(img, raw), f"filter {ftype}"
+
+
+def test_png_rejects_garbage_and_bad_crc():
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    good = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+
+
+def test_slippy_png_sink_roundtrip_e2e(spark, tmp_path):
+    """rasterize -> write_slippy_pngs (z/x/y.png, palette-indexed like the
+    reference) -> tiles_from_slippy_map scan -> decode -> original grids."""
+    from robosat_spark.operators.cover import cover
+    from robosat_spark.operators.rasterize import rasterize_masks
+    from robosat_spark.sources.fixtures import features, tiles_from_slippy_map
+    from robosat_spark.sources.sinks import write_slippy_pngs
+
+    ft = features(spark).filter(F.col("feature_id") < 2)
+    tiles = cover(ft, zoom=18).select("x", "y").limit(6)
+    masks = rasterize_masks(spark, tiles, ft, zoom=18, size=64)
+    want = {
+        (r["z"], r["x"], r["y"]): np.frombuffer(r["data"], dtype=np.uint8)
+        for r in masks.collect()
+    }
+
+    root = str(tmp_path / "slippy")
+    write_slippy_pngs(masks, root, palette=[255, 255, 255, 222, 184, 135])
+
+    scanned = tiles_from_slippy_map(spark, root, with_content=True).collect()
+    assert len(scanned) == len(want) > 0
+    for r in scanned:
+        img, pal = decode_png(bytes(r["content"]))
+        assert pal == [255, 255, 255, 222, 184, 135]
+        assert np.array_equal(img.ravel(), want[(r["z"], r["x"], r["y"])])
+
+
+def test_decode_images_real_png_payload(spark):
+    """decode_images takes the REAL codec path for PNG payloads (no stub)."""
+    from robosat_spark.functions.multimodal import decode_images, media_meta
+
+    rng = np.random.RandomState(3)
+    grids = {f"u{i}": rng.randint(0, 256, size=(8, 5), dtype=np.uint8) for i in range(3)}
+    rows = [(k, bytearray(encode_png(g))) for k, g in grids.items()]
+    df = spark.createDataFrame(rows, "url STRING, html BINARY")
+    assert {r[0] for r in df.select(media_meta(F.col("html"))["format"]).collect()} == {"png"}
+    out = decode_images(df, fake=False).collect()
+    assert len(out) == 3
+    for r in out:
+        got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(r["h"], r["w"])
+        assert np.array_equal(got, grids[r["key"]])
