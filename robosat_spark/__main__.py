@@ -43,22 +43,35 @@ def cmd_cover(spark, args):
     write_tiles_csv(tiles.select("x", "y", "z"), args.out)
 
 
+_MASK_PALETTE = ["white", "denim"]  # bg, fg — the reference's mask colors
+
+
+def _write_masks(masks, out: str, fmt: str) -> None:
+    """parquet (engine-native, partitioned z/x) or png (reference slippy
+    z/x/y.png layout via the from-scratch codec)."""
+    if fmt == "png":
+        from .functions.colors import class_palette
+        from .sources.sinks import write_slippy_pngs
+
+        write_slippy_pngs(masks, out, palette=class_palette(_MASK_PALETTE))
+    else:
+        masks.write.mode("overwrite").partitionBy("z", "x").parquet(out)
+
+
 def cmd_rasterize(spark, args):
     from .operators.rasterize import rasterize_masks
     from .sources.fixtures import tiles_from_csv
 
     tiles = tiles_from_csv(spark, args.tiles)
     masks = rasterize_masks(spark, tiles, _features(spark, args.features), args.zoom, args.size)
-    masks.write.mode("overwrite").partitionBy("z", "x").parquet(args.out)
+    _write_masks(masks, args.out, args.format)
 
 
 def cmd_predict(spark, args):
     from .operators.rasterize import probs_to_masks, synthesize_probs
 
     masks = spark.read.parquet(args.masks)
-    probs_to_masks(synthesize_probs(masks, noise=args.noise)).write.mode(
-        "overwrite"
-    ).partitionBy("z", "x").parquet(args.out)
+    _write_masks(probs_to_masks(synthesize_probs(masks, noise=args.noise)), args.out, args.format)
 
 
 def cmd_features(spark, args):
@@ -122,7 +135,7 @@ def cmd_masks(spark, args):
     from .operators.rasterize import probs_to_masks
 
     probs = spark.read.parquet(args.probs)
-    probs_to_masks(probs).write.mode("overwrite").partitionBy("z", "x").parquet(args.out)
+    _write_masks(probs_to_masks(probs), args.out, args.format)
 
 
 def cmd_compare(spark, args):
@@ -168,10 +181,12 @@ def build_parser():
     r = sub.add_parser("rasterize"); r.add_argument("--features", required=True)
     r.add_argument("--tiles", required=True); r.add_argument("--zoom", type=int, required=True)
     r.add_argument("--size", type=int, default=512); r.add_argument("--out", required=True)
+    r.add_argument("--format", choices=["parquet", "png"], default="parquet")
     r.set_defaults(func=cmd_rasterize)
 
     pr = sub.add_parser("predict"); pr.add_argument("--masks", required=True)
     pr.add_argument("--noise", type=float, default=0.02); pr.add_argument("--out", required=True)
+    pr.add_argument("--format", choices=["parquet", "png"], default="parquet")
     pr.set_defaults(func=cmd_predict)
 
     f = sub.add_parser("features"); f.add_argument("--masks", required=True)
@@ -194,7 +209,9 @@ def build_parser():
     s.set_defaults(func=cmd_subset)
 
     mk = sub.add_parser("masks"); mk.add_argument("--probs", required=True)
-    mk.add_argument("--out", required=True); mk.set_defaults(func=cmd_masks)
+    mk.add_argument("--out", required=True)
+    mk.add_argument("--format", choices=["parquet", "png"], default="parquet")
+    mk.set_defaults(func=cmd_masks)
 
     cp = sub.add_parser("compare"); cp.add_argument("--masks", required=True)
     cp.add_argument("--truth", required=True); cp.add_argument("--out", default=None)

@@ -23,3 +23,20 @@ def lookup_tile(grids: DataFrame, z: int, x: int, y: int):
         .collect()
     )
     return rows[0] if rows else None
+
+
+def serve_tile_png(
+    grids: DataFrame, z: int, x: int, y: int, palette: list[int] | None = None
+) -> bytes | None:
+    """The full `rs serve` response analog: partition-pruned lookup ->
+    palette PNG bytes (serve.py:50-69 returns send_file(png); here the
+    bytes come from the from-scratch kernels.png encoder)."""
+    import numpy as np
+
+    from ..kernels.png import encode_png
+
+    row = lookup_tile(grids, z, x, y)
+    if row is None:
+        return None
+    grid = np.frombuffer(row["data"], dtype=np.uint8).reshape(row["h"], row["w"])
+    return encode_png(grid, palette=palette)

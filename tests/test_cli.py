@@ -81,6 +81,30 @@ def test_cli_full_chain(spark, tmp_path):
     m = spark.read.parquet(cmp_out).collect()
     assert len(m) == 1 and 0.0 <= m[0]["miou"] <= 1.0
 
+    # rasterize --format png: reference slippy z/x/y.png layout, decodable
+    png_out = str(tmp_path / "slippy_png")
+    main(["rasterize", "--features", ft_path, "--tiles", small_csv, "--zoom", "18",
+          "--size", "64", "--format", "png", "--out", png_out], spark=spark)
+    import glob
+
+    pngs = glob.glob(png_out + "/*/*/*.png")
+    assert len(pngs) == 2
+    from robosat_spark.kernels.png import decode_png
+
+    img, pal = decode_png(open(pngs[0], "rb").read())
+    assert img.shape == (64, 64) and pal is not None
+
+    # serve analog returns PNG bytes for a tile in the parquet layout
+    from robosat_spark.operators.serve import serve_tile_png
+
+    grids = spark.read.parquet(masks_out)
+    first = grids.select("z", "x", "y").first()
+    png_bytes = serve_tile_png(grids, first["z"], first["x"], first["y"],
+                               palette=[255, 255, 255, 48, 96, 176])
+    assert png_bytes is not None
+    img2, _ = decode_png(png_bytes)
+    assert img2.shape == (128, 128)
+
     # weights: two classes, weights positive, background outweighed
     w_out = str(tmp_path / "weights")
     main(["weights", "--masks", masks_out, "--classes", "2", "--out", w_out], spark=spark)
