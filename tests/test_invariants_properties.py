@@ -104,3 +104,32 @@ def test_shoelace_orientation_flip(n):
     a = G.signed_area(ccw)
     b = G.signed_area(ccw[::-1])
     assert a > 0 and abs(a + b) < 1e-12
+
+
+def _star_ring(n, r0, r1, cx=-82.81, cy=34.67, scale=0.001):
+    ang = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    rad = np.where(np.arange(n) % 2 == 0, r0, r1) * scale
+    return np.column_stack([cx + rad * np.cos(ang), cy + 0.8 * rad * np.sin(ang)])
+
+
+@given(
+    st.integers(min_value=6, max_value=20),
+    st.floats(min_value=0.5, max_value=1.0),
+    st.floats(min_value=1.2, max_value=2.0),
+    st.floats(min_value=0.0, max_value=2.0),
+)
+@settings(max_examples=40, deadline=None)
+def test_exact_iou_properties(n, r0, r1, shift):
+    """Exact clipping IoU on random star (concave, simple) polygons:
+    symmetric, within [0,1], 1.0 on self, and within the raster estimate's
+    sampling bound."""
+    a = _star_ring(n, r0, r1)
+    b = a + np.array([shift * 0.001, 0.0])
+    ab = G.exact_iou([a], [b])
+    ba = G.exact_iou([b], [a])
+    assert ab is not None and ba is not None
+    assert abs(ab - ba) < 1e-9
+    assert 0.0 <= ab <= 1.0
+    assert abs(G.exact_iou([a], [a]) - 1.0) < 1e-12
+    rast = G.raster_iou([a], [b], resolution=512)
+    assert abs(ab - rast) < 0.025, (ab, rast)
