@@ -118,6 +118,7 @@ def _register_builtins() -> None:
         ("pages_from_events", pages.pages_from_events),
         ("tiles_from_csv", fixtures.tiles_from_csv),
         ("tiles_from_slippy_map", fixtures.tiles_from_slippy_map),
+        ("grids_from_slippy_pngs", fixtures.grids_from_slippy_pngs),
         ("features_from_geojson", fixtures.features_from_geojson),
     ]:
         register(name, "source", fn)

@@ -208,6 +208,37 @@ def tiles_from_slippy_map(spark: SparkSession, root: str, with_content: bool = F
     return df.select(*cols)
 
 
+def grids_from_slippy_pngs(spark: SparkSession, root: str) -> DataFrame:
+    """Slippy PNG directory -> grids table (z, x, y, w, h, data): the
+    inverse of sinks.write_slippy_pngs, decoding each z/x/y.png with the
+    from-scratch codec (kernels.png) in Arrow batches. Palette images
+    yield the class-index bytes — exactly what rasterize_masks produced,
+    so write->scan->decode is an identity on mask datasets
+    (tests/test_png.py)."""
+    import pandas as pd
+
+    tiles = tiles_from_slippy_map(spark, root, with_content=True)
+
+    def gen(batches):
+        from ..kernels.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for z, x, y, content in zip(pdf["z"], pdf["x"], pdf["y"], pdf["content"]):
+                img, _pal = decode_png(bytes(content))
+                if img.ndim == 3:  # RGB(A) -> keep bytes, w is pixel width
+                    h, w = img.shape[:2]
+                else:
+                    h, w = img.shape
+                rows.append((int(z), int(x), int(y), w, h, img.tobytes()))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["z", "x", "y", "w", "h", "data"]
+                )
+
+    return tiles.mapInPandas(gen, "z INT, x INT, y INT, w INT, h INT, data BINARY")
+
+
 def features_from_geojson(spark: SparkSession, path: str) -> DataFrame:
     """GeoJSON FeatureCollection load (S4): multiLine JSON -> features table.
 

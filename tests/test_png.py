@@ -106,6 +106,17 @@ def test_slippy_png_sink_roundtrip_e2e(spark, tmp_path):
         assert pal == [255, 255, 255, 222, 184, 135]
         assert np.array_equal(img.ravel(), want[(r["z"], r["x"], r["y"])])
 
+    # dataset-level inverse: grids_from_slippy_pngs == the original table
+    from robosat_spark.sources.fixtures import grids_from_slippy_pngs
+
+    back = grids_from_slippy_pngs(spark, root).collect()
+    got = {
+        (r["z"], r["x"], r["y"]): np.frombuffer(r["data"], dtype=np.uint8)
+        for r in back
+    }
+    assert set(got) == set(want)
+    assert all(np.array_equal(got[k], want[k]) for k in want)
+
 
 def test_decode_images_real_png_payload(spark):
     """decode_images takes the REAL codec path for PNG payloads (no stub)."""
