@@ -840,6 +840,19 @@ def _q_sessionize_gaps(spark, sf_dir):
     )
 
 
+def _q_value_quantiles(spark, sf_dir):
+    """EXACT percentiles per event type (engine agg surface): Spark
+    ``percentile`` (exact linear interpolation) == DuckDB quantile_cont —
+    the exact path, not percentile_approx (t-digest has no cross-engine
+    twin)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
 def _q_rollup_events(spark, sf_dir):
     """ROLLUP aggregation (grouping-sets surface the reference lacks):
     event counts by (event_type, day) with subtotals and grand total."""
@@ -862,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "sessionize_gaps": _q_sessionize_gaps,
         "rollup_events": _q_rollup_events,
+        "value_quantiles": _q_value_quantiles,
         "users_retained": _q_users_retained,
         "asof_click_before_purchase": _q_asof_click_before_purchase,
         "event_type_pivot": _q_event_type_pivot,
@@ -1029,6 +1043,14 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn
           FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts)
         WHERE rn = 1
+    """
+
+    sql["value_quantiles"] = """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.25), 6) AS p25,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90
+        FROM events GROUP BY event_type
     """
 
     sql["users_retained"] = """

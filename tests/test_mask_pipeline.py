@@ -125,3 +125,21 @@ def test_dedupe_iou_thresholds(spark):
     assert by_src["ioupair-3-a"]["iou"] == pytest.approx(0.9, abs=0.05)
     for row in verdicts.collect():
         assert 0.0 <= row["iou"] <= 1.0  # spatial/core.py:75 invariant
+
+
+def test_dedupe_cells_are_codegen_payload_free(spark):
+    """Round-1 review item 6: the dedupe cover cells must be pure column
+    expressions carrying no ring payload — the candidate-pair derivation
+    contains no Python stage (MapInPandas/MapInArrow) and no rings column;
+    payloads join onto the deduped pair set afterwards."""
+    import pyspark.sql.functions as F
+
+    from robosat_spark.operators.dedupe import _cover_cells
+    from robosat_spark.sources.fixtures import features as fixture_features
+
+    ft = fixture_features(spark).filter(F.col("props")["src"].like("ioupair-%"))
+    cells = _cover_cells(ft, "pred_id", 16)
+    assert set(cells.columns) == {"pred_id", "cx", "cy"}
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "mapInArrow" not in plan.lower(), plan
+    assert cells.count() > 0
