@@ -18,8 +18,80 @@ from __future__ import annotations
 
 import numpy as np
 
-from .geometry import close_ring, open_ring, orient, simplify_dp
+from .geometry import as_ring, close_ring, is_convex, open_ring, orient, simplify_dp
 from .raster import find_contours, rasterize_rings, dilate, erode
+
+
+def _clip_halfplane(poly: np.ndarray, a: np.ndarray, e: np.ndarray) -> np.ndarray:
+    """Clip an open ring by the half-plane LEFT of the directed line
+    through ``a`` along ``e`` (Sutherland-Hodgman single edge)."""
+    if len(poly) == 0:
+        return poly
+    prev = np.roll(poly, 1, axis=0)
+    side = e[0] * (poly[:, 1] - a[1]) - e[1] * (poly[:, 0] - a[0])
+    side_prev = e[0] * (prev[:, 1] - a[1]) - e[1] * (prev[:, 0] - a[0])
+    out = []
+    for j in range(len(poly)):
+        cur_in, was_in = side[j] >= 0, side_prev[j] >= 0
+        if cur_in != was_in:
+            denom = side[j] - side_prev[j]
+            t = -side_prev[j] / denom if abs(denom) > 1e-300 else 0.0
+            out.append(prev[j] + t * (poly[j] - prev[j]))
+        if cur_in:
+            out.append(poly[j])
+    return np.asarray(out, dtype=np.float64).reshape(-1, 2)
+
+
+def buffer_ring_exact(ring, dist: float, segments_per_arc: int = 16):
+    """EXACT metric buffer of a CONVEX ring (arc joins polygonized).
+
+    Positive ``dist``: the Minkowski-sum boundary — offset edges joined by
+    vertex arcs (outward normals of a CCW convex ring rotate monotonically
+    CCW, so each vertex arc spans its two adjacent edge normals). Negative
+    ``dist``: intersection of the inward-shifted edge half-planes (exact;
+    [] when the polygon vanishes). Concave rings are not handled here —
+    :func:`buffer_ring` auto-falls back to the raster route for them."""
+    r = orient(open_ring(as_ring(ring)), ccw=True)
+    if len(r) < 3:
+        return []
+    if dist < 0:
+        out = r
+        n = len(r)
+        for i in range(n):
+            a, b = r[i], r[(i + 1) % n]
+            e = b - a
+            length = float(np.hypot(e[0], e[1]))
+            if length < 1e-15:
+                continue
+            inward = np.array([-e[1], e[0]]) / length  # left normal of CCW edge
+            out = _clip_halfplane(out, a + inward * (-dist), e)
+            if len(out) < 3:
+                return []
+        return [close_ring(out)]
+
+    n = len(r)
+    edges = np.roll(r, -1, axis=0) - r
+    lengths = np.hypot(edges[:, 0], edges[:, 1])
+    keep = lengths > 1e-15
+    r, edges, lengths = r[keep], edges[keep], lengths[keep]
+    n = len(r)
+    if n < 3:
+        return []
+    # outward normal angle of CCW edge e = atan2(-ex, ey)
+    theta = np.arctan2(-edges[:, 0], edges[:, 1])
+    pts = []
+    for i in range(n):
+        t_prev = theta[i - 1]
+        t_next = theta[i]
+        da = (t_next - t_prev) % (2.0 * np.pi)
+        k = max(int(np.ceil(da / (2.0 * np.pi) * segments_per_arc)), 1)
+        ang = t_prev + da * np.linspace(0.0, 1.0, k + 1)
+        pts.append(
+            np.column_stack(
+                [r[i, 0] + dist * np.cos(ang), r[i, 1] + dist * np.sin(ang)]
+            )
+        )
+    return [close_ring(np.vstack(pts))]
 
 
 def buffer_ring(ring: np.ndarray, dist: float, resolution: int = 256):
@@ -28,10 +100,17 @@ def buffer_ring(ring: np.ndarray, dist: float, resolution: int = 256):
     Returns a list of rings (buffering can split a shrunk polygon into
     several, or return [] when it vanishes — mirroring the reference's
     validity-skip of degenerate results, /root/reference/robosat/tools/merge.py:83-84).
-    """
+
+    Convex rings take the EXACT vector path (:func:`buffer_ring_exact` —
+    no grid, no quantization); concave rings fall back to the raster-domain
+    route (dilate/erode on a fine local grid, bounded error = one cell),
+    which robosat itself equates with buffering in mask space
+    (/root/reference/robosat/features/core.py:80-92)."""
     r = open_ring(np.asarray(ring, dtype=np.float64))
     if len(r) < 3:
         return []
+    if is_convex(r):
+        return buffer_ring_exact(r, dist)
     minx, miny = r.min(axis=0)
     maxx, maxy = r.max(axis=0)
     pad = abs(dist) * 2.0 + 1e-9

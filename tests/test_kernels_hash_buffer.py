@@ -97,3 +97,57 @@ def test_buffer_line_polyline_valid():
     assert ring is not None and len(ring) > 10
     # every input vertex lies inside the buffered polygon
     assert G.points_in_ring(line[:, 0], line[:, 1], ring).all()
+
+
+def test_buffer_ring_exact_convex_area_formula():
+    """Exact convex buffer: area(A ⊕ disk_d) = A + P·d + π·d² (arc
+    polygonization makes it a hair under π); inward offset of a rect is
+    the exact smaller rect; vanishing shrink returns []."""
+    import numpy as np
+
+    from robosat_spark.kernels.buffer import buffer_ring, buffer_ring_exact
+    from robosat_spark.kernels.geometry import signed_area
+
+    rect = np.array([[0.0, 0.0], [40.0, 0.0], [40.0, 10.0], [0.0, 10.0], [0.0, 0.0]])
+    d = 3.0
+    out = buffer_ring(rect, d)  # auto-selects the exact path (convex)
+    assert len(out) == 1
+    area = abs(signed_area(out[0]))
+    expect = 400.0 + 100.0 * d + np.pi * d * d
+    assert abs(area - expect) / expect < 0.01, (area, expect)
+
+    inner = buffer_ring_exact(rect, -d)
+    assert len(inner) == 1
+    assert abs(abs(signed_area(inner[0])) - (40 - 2 * d) * (10 - 2 * d)) < 1e-9
+
+    assert buffer_ring_exact(rect, -6.0) == []  # 10-wide rect dies at -5
+
+
+def test_buffer_ring_exact_matches_raster_within_cell():
+    """Exact vs raster buffer of the same convex ring: near-identical
+    area (raster error is bounded by one grid cell along the perimeter)."""
+    import numpy as np
+
+    from robosat_spark.kernels.buffer import buffer_ring_exact
+    from robosat_spark.kernels.geometry import signed_area
+    from robosat_spark.kernels.raster import rasterize_rings
+
+    ang = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+    ring = np.column_stack([100 + 30 * np.cos(ang), 100 + 20 * np.sin(ang)])
+    exact = buffer_ring_exact(ring, 5.0)[0]
+    a_exact = abs(signed_area(exact))
+
+    # rasterize the EXACT result and measure pixel area as the cross-check
+    minx, miny = exact.min(axis=0) - 1
+    maxx, maxy = exact.max(axis=0) + 1
+    res = 512
+    cell = max(maxx - minx, maxy - miny) / res
+
+    def tf(x, y):
+        return (np.asarray(x) - minx) / cell, (maxy - np.asarray(y)) / cell
+
+    w = int(np.ceil((maxx - minx) / cell))
+    h = int(np.ceil((maxy - miny) / cell))
+    grid = rasterize_rings([exact], w, h, tf)
+    a_rast = grid.sum() * cell * cell
+    assert abs(a_exact - a_rast) / a_exact < 0.02
