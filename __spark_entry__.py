@@ -336,6 +336,58 @@ def _q_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
 
 
+def _q_lang_confusion(spark, sf_dir):
+    """Language-ID eval against the ground-truth lang column: the
+    (true, predicted) confusion counts — the quality-eval query every
+    lang-filtered training pipeline runs before trusting the filter."""
+    from robosat_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("true_lang"), lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_knn_label_accuracy(spark, sf_dir):
+    """Embedding-space kNN classification eval: for every 5th vector,
+    top-5 cosine neighbors (self excluded) vote on the label; report
+    n_queries / n_correct / accuracy. The standard embedding-quality
+    smoke test for a training corpus."""
+    from robosat_spark.functions.vectors import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("item_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+        F.col("label").alias("item_label"),
+    )
+    q = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    cand = base.crossJoin(F.broadcast(q)).filter(F.col("item_id") != F.col("query_id"))
+    cand = cand.withColumn("sim", cosine_sim(F.col("vec"), F.col("qvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
+    top = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top.groupBy("query_id", "true_label", "item_label").agg(
+        F.count("*").alias("v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("item_label").asc())
+    pred = votes.withColumn("rv", F.row_number().over(wv)).filter(F.col("rv") == 1)
+    return pred.agg(
+        F.count("*").alias("n_queries"),
+        F.sum(F.when(F.col("item_label") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.avg(F.when(F.col("item_label") == F.col("true_label"), 1.0).otherwise(0.0)), 6
+        ).alias("accuracy"),
+    )
+
+
 def _q_ann_cosine(spark, sf_dir):
     """Brute-force cosine top-5 per query vector (vec_id < 3), the ANN
     baseline; JVM-side zip_with/aggregate arithmetic."""
@@ -894,6 +946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
+        "lang_confusion": _q_lang_confusion,
+        "knn_label_accuracy": _q_knn_label_accuracy,
         "ann_cosine": _q_ann_cosine,
         "pip_assign_salted": _q_pip_assign_salted,
         "pip_assign_jvm": _q_pip_assign_jvm,
@@ -1239,6 +1293,43 @@ def oracle_sql() -> dict[str, str]:
     sql["lang_id"] = f"""
         SELECT doc_id, CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END AS pred_lang
         FROM (SELECT doc_id, text, {score_cols} FROM documents)
+    """
+
+    sql["lang_confusion"] = f"""
+        SELECT true_lang, pred_lang, COUNT(*) AS n
+        FROM (SELECT lang AS true_lang,
+                     CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END AS pred_lang
+              FROM (SELECT lang, text, {score_cols} FROM documents))
+        GROUP BY true_lang, pred_lang
+    """
+
+    sql["knn_label_accuracy"] = """
+        WITH base AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS vec,
+                             label AS item_label FROM embeddings),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec,
+                     label AS true_label FROM embeddings WHERE vec_id % 5 = 0),
+        top AS (
+          SELECT query_id, true_label, item_label FROM (
+            SELECT q.query_id, q.true_label, b.item_label,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_cosine_similarity(b.vec, q.qvec) DESC,
+                                               b.item_id ASC) AS rn
+            FROM base b CROSS JOIN q WHERE b.item_id != q.query_id)
+          WHERE rn <= 5),
+        votes AS (SELECT query_id, true_label, item_label, COUNT(*) AS v
+                  FROM top GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT query_id, true_label, item_label FROM (
+            SELECT query_id, true_label, item_label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY v DESC, item_label ASC) AS rv
+            FROM votes) WHERE rv = 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN item_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct,
+               ROUND(AVG(CASE WHEN item_label = true_label THEN 1.0 ELSE 0.0 END), 6)
+                 AS accuracy
+        FROM pred
     """
 
     sql["pip_assign_salted"] = sql["pip_assign"]
