@@ -147,6 +147,75 @@ def resize_decoded(decoded: DataFrame, out_h: int, out_w: int) -> DataFrame:
     return decoded.mapInPandas(gen, DECODED_SCHEMA)
 
 
+def decode_wav_bytes(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE PCM decode (stdlib struct only): -> (sample_rate,
+    n_channels, int16 samples[frames, channels]). 16-bit PCM; other
+    encodings raise ValueError. The audio analog of the PNG codec — real,
+    not stubbed."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    frames = len(samples) // channels
+    return rate, channels, samples[: frames * channels].reshape(frames, channels)
+
+
+def encode_wav_bytes(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples[frames, channels] -> RIFF/WAVE PCM bytes."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_SCHEMA = "key STRING, sample_rate INT, channels INT, n_frames LONG, rms DOUBLE"
+
+
+def audio_features(df: DataFrame, key_col: str = "url", data_col: str = "html") -> DataFrame:
+    """WAV binary column -> (key, sample_rate, channels, n_frames, rms):
+    the audio feature-extract leg of the multimodal contract, real decode
+    via :func:`decode_wav_bytes` in Arrow batches."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[data_col]):
+                rate, ch, s = decode_wav_bytes(bytes(payload))
+                rms = float(np.sqrt(np.mean(s.astype(np.float64) ** 2))) if len(s) else 0.0
+                rows.append((key, rate, ch, s.shape[0], rms))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["key", "sample_rate", "channels", "n_frames", "rms"]
+                )
+
+    return df.select(key_col, data_col).mapInPandas(gen, AUDIO_SCHEMA)
+
+
 def sample_frames(n_frames: Column, every: int = 30) -> Column:
     """Deterministic frame-sampling offsets for a video column: frame
     indices 0, every, 2*every, ... < n_frames (JVM sequence — the schema

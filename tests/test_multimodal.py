@@ -67,3 +67,32 @@ def test_sample_frames(spark):
     assert got[0] == [0, 30, 60, 90]
     assert got[1] == [0]
     assert got[2] == [0]
+
+
+def test_wav_codec_roundtrip_and_audio_features(spark):
+    """Real WAV/PCM decode (stdlib struct): encode->decode roundtrip and
+    the audio feature-extract operator over a binary column, including
+    magic-sniff agreement ('wav' via the RIFF subtype)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from robosat_spark.functions.multimodal import (
+        audio_features,
+        decode_wav_bytes,
+        encode_wav_bytes,
+        sniff_format,
+    )
+
+    t = np.arange(8000, dtype=np.float64)
+    tone = (np.sin(2 * np.pi * 440 * t / 8000) * 10000).astype(np.int16)
+    payload = encode_wav_bytes(tone, rate=8000)
+    rate, ch, s = decode_wav_bytes(payload)
+    assert (rate, ch) == (8000, 1) and np.array_equal(s[:, 0], tone)
+
+    df = spark.createDataFrame([("a1", bytearray(payload))], "url STRING, html BINARY")
+    assert df.select(sniff_format(F.col("html")).alias("f")).collect()[0]["f"] == "wav"
+    row = audio_features(df).collect()[0]
+    assert row["sample_rate"] == 8000 and row["channels"] == 1
+    assert row["n_frames"] == 8000
+    # RMS of a full-cycle sine = amplitude/sqrt(2)
+    assert abs(row["rms"] - 10000 / np.sqrt(2)) / (10000 / np.sqrt(2)) < 0.01
