@@ -55,7 +55,7 @@ def names(kind: str | None = None) -> list[str]:
 
 def _register_builtins() -> None:
     from .functions import text, tiles, vectors
-    from .functions.multimodal import media_meta, sniff_format
+    from .functions.multimodal import audio_features, decode_images, media_meta, sniff_format
     from .functions.roads import is_road, road_width_m
     from .operators import ann, asof, components, cover, dedup, dedupe, ensemble
     from .operators import features as feat_ops
@@ -108,6 +108,8 @@ def _register_builtins() -> None:
         ("ann_ivf_from_index", ann.ann_ivf_from_index),
         ("streaming_tile_state", stateful.streaming_tile_state),
         ("streaming_dedup_exact", ingest.streaming_dedup_exact),
+        ("decode_images", decode_images),
+        ("audio_features", audio_features),
     ]:
         register(name, "grouped", fn)
 
