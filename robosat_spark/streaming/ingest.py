@@ -88,6 +88,50 @@ def streaming_tile_counts(
     )
 
 
+def streaming_feature_counts(
+    pages: DataFrame,
+    features: DataFrame,
+    zoom: int = 12,
+    window: str = "1 hour",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """The flagship spatial join ON A STREAM: geotag -> tile encode ->
+    stream-static broadcast join against the exploded cover table ->
+    codegen point-in-rings refine -> windowed counts per feature.
+
+    The assign_jvm plan is stateless JVM end to end, so it runs under
+    Structured Streaming unchanged — stream-static joins with a broadcast
+    static side need no state store; only the windowed count keeps state
+    (bounded by the watermark)."""
+    from ..functions.tiles import geotag_lat_fast, geotag_lon_fast, pack_tile_id, tile_x, tile_y
+    from ..operators.cover import cover_tile_ids
+    from ..operators.spatial_join import point_in_rings
+
+    lon = geotag_lon_fast(F.col("text"))
+    lat = geotag_lat_fast(F.col("text"))
+    pts = (
+        pages.withWatermark("warc_ts", watermark)
+        .select("url", "warc_ts", lon.alias("lon"), lat.alias("lat"))
+        .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+        .withColumn(
+            "tile_id", pack_tile_id(zoom, tile_x(F.col("lon"), zoom), tile_y(F.col("lat"), zoom))
+        )
+    )
+    cand_feats = cover_tile_ids(features, zoom).join(
+        F.broadcast(features.select("feature_id", "rings")), "feature_id"
+    )
+    joined = pts.join(
+        cand_feats.hint("broadcast"),
+        (pts["tile_id"] == cand_feats["tile_id"])
+        & point_in_rings(pts["lon"], pts["lat"], cand_feats["rings"]),
+    )
+    return (
+        joined.groupBy(F.window("warc_ts", window).alias("w"), F.col("feature_id"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("bucket"), "feature_id", "n_pages")
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str = "q", mode: str = "append"
 ):

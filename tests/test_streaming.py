@@ -118,3 +118,31 @@ def test_stateful_tile_counters_accumulate(spark, pages_dir, tmp_path):
         .groupBy("tile_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_flagship_spatial_join_matches_batch(spark, pages_dir, tmp_path):
+    """The flagship PIP join on a stream (stream-static broadcast cover
+    join + codegen refine) must equal the batch assign_jvm counts on the
+    same files."""
+    from robosat_spark.operators.spatial_join import assign_jvm
+    from robosat_spark.sources.fixtures import features as fixture_features
+    from robosat_spark.streaming.ingest import streaming_feature_counts
+
+    ft = fixture_features(spark).filter(F.col("feature_id") < 2)
+    stream = streaming_pages(spark, pages_dir)
+    counts = streaming_feature_counts(stream, ft, zoom=16, window="6 hours")
+    run_available_now(counts, str(tmp_path / "ckpt4"), "feat_counts", mode="complete")
+    got = {
+        (r["bucket"], r["feature_id"]): r["n_pages"]
+        for r in spark.sql("select * from feat_counts").collect()
+    }
+
+    batch = assign_jvm(spark, spark.read.parquet(pages_dir), ft, zoom=16)
+    want = {
+        (r["bucket"], r["feature_id"]): r["n_pages"]
+        for r in batch.groupBy(F.window("warc_ts", "6 hours").alias("w"), "feature_id")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("bucket"), "feature_id", "n_pages")
+        .collect()
+    }
+    assert got == want and len(got) > 0
