@@ -144,7 +144,12 @@ def main():
         "road_widths",
         "token_stats",
         "lang_id",
+        "lang_confusion",
         "quality_score",
+        "repetition_stats",
+        "top_tokens",
+        "value_quantiles",
+        "knn_label_accuracy",
         "ann_cosine",
         "ann_ivf",
         "cover",
