@@ -828,9 +828,16 @@ def _q_event_type_pivot(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact all-pairs at test scale; the
-    hyperplane-LSH bucket path in functions.vectors is the 100TB prefilter,
-    recall-tested in tests/)."""
+    """Embedding-cosine near-dup pairs — the EXACT all-pairs baseline,
+    gate-only (excluded from bench). Deliberately not LSH-prefiltered: the
+    synthetic embeddings have NO similarity gap at the 0.4 threshold
+    (measured sf0.01: densest below-threshold pair at 0.400, sparsest
+    above at 0.401, 2759 background pairs in [0.25, 0.4)), so no
+    sublinear candidate generator can reproduce this exact output — any
+    LSH misses pairs sitting in the continuous bulk. The verified SCALE
+    plan is `embedding_neardup_lsh` (bucket equi-joins, its DuckDB twin
+    replays the identical buckets); real corpora with dups at sim >= 0.9
+    get ~1.0 recall there (planted-recall test in tests/test_dedup_ann.py)."""
     from robosat_spark.functions.vectors import cosine_sim
 
     emb = _t(spark, sf_dir, "embeddings")
