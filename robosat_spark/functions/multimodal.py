@@ -148,49 +148,42 @@ def resize_decoded(decoded: DataFrame, out_h: int, out_w: int) -> DataFrame:
 
 
 def decode_wav_bytes(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """RIFF/WAVE PCM decode (stdlib struct only): -> (sample_rate,
-    n_channels, int16 samples[frames, channels]). 16-bit PCM; other
-    encodings raise ValueError. The audio analog of the PNG codec — real,
-    not stubbed."""
-    import struct
+    """RIFF/WAVE PCM decode via the stdlib ``wave`` module: ->
+    (sample_rate, n_channels, int16 samples[frames, channels]). 16-bit
+    PCM; other encodings raise ValueError. (Unlike PNG, the stdlib already
+    ships a WAV parser — no reason to hand-roll the chunk walk.)"""
+    import io
+    import wave
 
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos = 12
-    fmt = None
-    data = None
-    while pos + 8 <= len(payload):
-        tag = payload[pos : pos + 4]
-        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        body = payload[pos + 8 : pos + 8 + size]
-        if tag == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
-        elif tag == b"data":
-            data = body
-        pos += 8 + size + (size & 1)
-    if fmt is None or data is None:
-        raise ValueError("missing fmt/data chunk")
-    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise ValueError(f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
-    samples = np.frombuffer(data, dtype="<i2")
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(f"only 16-bit PCM supported (width={w.getsampwidth()})")
+            rate, channels = w.getframerate(), w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as e:
+        raise ValueError(f"malformed WAV: {e}") from e
+    samples = np.frombuffer(raw, dtype="<i2")
     frames = len(samples) // channels
     return rate, channels, samples[: frames * channels].reshape(frames, channels)
 
 
 def encode_wav_bytes(samples: np.ndarray, rate: int) -> bytes:
-    """int16 samples[frames, channels] -> RIFF/WAVE PCM bytes."""
-    import struct
+    """int16 samples[frames, channels] -> RIFF/WAVE PCM bytes (stdlib
+    ``wave`` writer)."""
+    import io
+    import wave
 
     s = np.asarray(samples, dtype="<i2")
     if s.ndim == 1:
         s = s[:, None]
-    channels = s.shape[1]
-    data = s.tobytes()
-    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(data)) + data
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(s.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
 
 
 AUDIO_SCHEMA = "key STRING, sample_rate INT, channels INT, n_frames LONG, rms DOUBLE"

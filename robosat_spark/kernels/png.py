@@ -85,7 +85,15 @@ def decode_png(data: bytes) -> tuple[np.ndarray, list[int] | None]:
 
     Palette images return the INDEX array (H, W) plus the flat palette —
     the mask-pipeline contract (class indices, not colors). Gray -> (H, W),
-    RGB/RGBA -> (H, W, C)."""
+    RGB/RGBA -> (H, W, C). EVERY malformed input raises ValueError
+    (struct/zlib errors are wrapped), so callers need one except clause."""
+    try:
+        return _decode_png(data)
+    except (struct.error, zlib.error) as e:
+        raise ValueError(f"malformed PNG: {e}") from e
+
+
+def _decode_png(data: bytes) -> tuple[np.ndarray, list[int] | None]:
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -93,8 +101,12 @@ def decode_png(data: bytes) -> tuple[np.ndarray, list[int] | None]:
     palette: list[int] | None = None
     idat = []
     while pos < len(data):
+        if pos + 12 > len(data):
+            raise ValueError("truncated chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated {tag!r} chunk")
         body = data[pos + 8 : pos + 8 + length]
         crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
@@ -133,11 +145,11 @@ def decode_png(data: bytes) -> tuple[np.ndarray, list[int] | None]:
             rec = line
         elif ftype == 2:  # Up
             rec = (line + prev) & 0xFF
-        elif ftype == 1:  # Sub — per-offset cumulative sum mod 256
+        elif ftype == 1:  # Sub — vectorized: per-bpp-offset cumsum mod 256
             rec = line.copy()
-            for x in range(bpp, stride):
-                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
-        elif ftype == 3:  # Average
+            for off in range(bpp):
+                rec[off::bpp] = np.cumsum(line[off::bpp]) & 0xFF
+        elif ftype == 3:  # Average — left-dependency forces a per-pixel loop
             rec = line.copy()
             for x in range(stride):
                 left = rec[x - bpp] if x >= bpp else 0

@@ -179,12 +179,21 @@ def simhash(text: Column, bits: int = 32) -> Column:
     bit j of the output is set iff sum over words of (2*bit_j(hash60(word))
     - 1) is positive. Pure column expression.
 
-    Single pass over the word array: each word hash expands to its ±1 bit
-    vector once, one ``aggregate`` zip-adds them into a bits-long sum
-    array, and the final fold reads the signs. The earlier per-bit
+    Supports bits up to 60 — the md5-derived word hash (_hash60) carries
+    60 random bits, so higher signature bits would be degenerate (always
+    0); bits=60 is the wide-corpus configuration (SCALE.md: 3 x 20-bit
+    chunks = 1M banding buckets). Single pass over the word array: each
+    word hash expands to its ±1 bit vector once, one ``aggregate``
+    zip-adds them into a bits-long sum array, and the final fold reads
+    the signs. The earlier per-bit
     formulation ran ``bits`` separate aggregates (bits× traversals of the
     hash array) — this shape measured 4x faster at sf0.1 with bit-identical
     output (same integer sums, so the DuckDB twin is unchanged)."""
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            "simhash supports 1..60 bits (the md5-derived word hash has 60 "
+            "random bits; bits above that would be constant)"
+        )
     hs = F.transform(words(text), lambda x: _hash60(x))
     bits_per_word = F.transform(
         hs,
@@ -241,12 +250,12 @@ def simhash_pairs_banded(
     (asserted in tests/test_dedup_ann.py).
 
     Scale note: chunk width = bits/n_chunks bounds the bucket-key space
-    (2^width values); at 100 TB corpora use bits=64 so the 3 chunks carry
-    ~21 bits each (~2M buckets) — 32/3 (~11 bits, 2048 buckets) is right
-    for the test scale but would hot-bucket at billions of docs. A skewed
-    chunk value (e.g. all-zeros from templated text) is the residual risk;
-    mitigate with a bits upgrade, not more chunks (more chunks = narrower
-    chunks = worse)."""
+    (2^width values); at 100 TB corpora use bits=60 (the max the 60-bit
+    word hash supports) so the 3 chunks carry 20 bits each (~1M buckets)
+    — 32/3 (~11 bits, 2048 buckets) is right for the test scale but would
+    hot-bucket at billions of docs. A skewed chunk value (e.g. all-zeros
+    from templated text) is the residual risk; mitigate with a bits
+    upgrade, not more chunks (more chunks = narrower chunks = worse)."""
     if n_chunks is None:
         n_chunks = max_hd + 1
     if n_chunks <= max_hd:

@@ -226,10 +226,16 @@ def grids_from_slippy_pngs(spark: SparkSession, root: str) -> DataFrame:
             rows = []
             for z, x, y, content in zip(pdf["z"], pdf["x"], pdf["y"], pdf["content"]):
                 img, _pal = decode_png(bytes(content))
-                if img.ndim == 3:  # RGB(A) -> keep bytes, w is pixel width
-                    h, w = img.shape[:2]
-                else:
-                    h, w = img.shape
+                if img.ndim != 2:
+                    # the grids schema is single-channel (1 byte/pixel);
+                    # silently packing RGB(A) bytes would corrupt every
+                    # downstream reshape(h, w)
+                    raise ValueError(
+                        f"tile {z}/{x}/{y}: expected gray/palette PNG, got "
+                        f"{img.shape[2]} channels — grids tables are "
+                        "single-channel masks"
+                    )
+                h, w = img.shape
                 rows.append((int(z), int(x), int(y), w, h, img.tobytes()))
             if rows:
                 yield pd.DataFrame(

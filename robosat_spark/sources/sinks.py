@@ -72,9 +72,17 @@ def write_slippy_pngs(masks: DataFrame, root: str, palette: list[int] | None = N
     — PIL P-mode with a class palette). Encoding is the from-scratch stdlib
     zlib codec (kernels.png) inside ``foreachPartition`` — one task writes
     its own tiles, no driver collection. ``root`` must be a path visible to
-    executors (local/NFS/fuse mount)."""
+    executors (local/NFS/fuse mount). Overwrite semantics like the other
+    sinks: an existing root is cleared first (stale tiles from a previous,
+    larger cover would otherwise survive and break the write->scan
+    identity); files land via tmp-name + os.replace so speculative task
+    retries never expose partial PNGs."""
+    import shutil
+
     import numpy as np
 
+    if os.path.isdir(root):
+        shutil.rmtree(root)
     cols = masks.select("z", "x", "y", "w", "h", "data")
 
     def sink(rows):
@@ -84,8 +92,11 @@ def write_slippy_pngs(masks: DataFrame, root: str, palette: list[int] | None = N
             grid = np.frombuffer(r["data"], dtype=np.uint8).reshape(r["h"], r["w"])
             d = os.path.join(root, str(r["z"]), str(r["x"]))
             os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, f"{r['y']}.png"), "wb") as f:
+            final = os.path.join(d, f"{r['y']}.png")
+            tmp = final + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
                 f.write(encode_png(grid, palette=palette))
+            os.replace(tmp, final)
 
     cols.foreachPartition(sink)
 

@@ -45,16 +45,18 @@ def streaming_dedup_exact(pages: DataFrame, watermark: str = "2 days") -> DataFr
     """Streaming EXACT text dedup: drop documents whose normalized-text
     md5 fingerprint was already seen within the watermark horizon — the
     streaming member of the dedup family (the batch twin is the
-    ``dedup_exact`` gate query's hash-groupBy). State = one fingerprint
-    per distinct text inside the horizon; the fingerprint is the same
-    whole-stage-codegen expression as the batch path, so batch/stream
-    parity holds by construction."""
+    ``dedup_exact`` gate query's hash-groupBy). Uses
+    ``dropDuplicatesWithinWatermark`` so fingerprint state is actually
+    EVICTED past the horizon (plain dropDuplicates(["fp"]) without the
+    event-time column in the key never evicts — unbounded state at
+    10^12-page scale); the fingerprint is the same whole-stage-codegen
+    expression as the batch path, so batch/stream parity holds."""
     from ..functions.text import normalized_text
 
     keyed = pages.withWatermark("warc_ts", watermark).withColumn(
         "fp", F.md5(normalized_text(F.col("text")))
     )
-    return keyed.dropDuplicates(["fp"])
+    return keyed.dropDuplicatesWithinWatermark(["fp"])
 
 
 def streaming_tile_counts(

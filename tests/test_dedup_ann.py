@@ -213,3 +213,23 @@ def test_ivf_index_persisted_and_pruned(spark, tmp_path):
     assert any(d.startswith("centroid_id=") for d in os.listdir(path))
     plan = index.filter(F.col("centroid_id").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_simhash_banded_60bit_and_bits_guard(spark):
+    """bits=60 (the documented wide-corpus config) must work end-to-end in
+    the banded pair search; bits>60 raises (the word hash only carries 60
+    random bits — silent degenerate sign bits would be worse)."""
+    import pytest
+
+    from robosat_spark.operators.dedup import simhash_pairs_banded
+
+    rows = [(i, f"common prefix words here doc {i % 4}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = simhash_pairs_banded(docs, bits=60, max_hd=2).collect()
+    # exact duplicates (same i%4 text) are at hamming 0 -> always found
+    dup_pairs = {(a, b) for a in range(12) for b in range(12) if a < b and a % 4 == b % 4}
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert dup_pairs <= got
+
+    with pytest.raises(ValueError, match="1..60"):
+        simhash(F.col("text"), bits=64)

@@ -96,3 +96,23 @@ def test_wav_codec_roundtrip_and_audio_features(spark):
     assert row["n_frames"] == 8000
     # RMS of a full-cycle sine = amplitude/sqrt(2)
     assert abs(row["rms"] - 10000 / np.sqrt(2)) / (10000 / np.sqrt(2)) < 0.01
+
+
+def test_decode_images_truncated_png_falls_back_to_stub(spark):
+    """PNG magic + truncated body must hit the documented fallback: stub
+    under fake=True, ValueError (not struct/zlib errors) under fake=False."""
+    import pytest
+
+    from robosat_spark.functions.multimodal import decode_images
+    from robosat_spark.kernels.png import decode_png
+
+    bad = b"\x89PNG\r\n\x1a\n" + b"\x00\x01"
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    df = spark.createDataFrame([("u", bytearray(bad))], "url STRING, html BINARY")
+    out = decode_images(df, fake=True, h=4, w=4).collect()
+    assert len(out) == 1 and out[0]["h"] == 4  # stub engaged
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        decode_images(df, fake=False).collect()

@@ -132,3 +132,21 @@ def test_decode_images_real_png_payload(spark):
     for r in out:
         got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(r["h"], r["w"])
         assert np.array_equal(got, grids[r["key"]])
+
+
+def test_write_slippy_pngs_overwrites_stale_tiles(spark, tmp_path):
+    """Rerunning the PNG sink with a smaller tile set must not leave stale
+    tiles from the previous run (overwrite semantics like every sink)."""
+    import glob
+
+    from robosat_spark.sources.sinks import write_slippy_pngs
+
+    def masks_df(n):
+        rows = [(18, x, 0, 4, 4, bytes([x % 2] * 16)) for x in range(n)]
+        return spark.createDataFrame(rows, "z INT, x INT, y INT, w INT, h INT, data BINARY")
+
+    root = str(tmp_path / "s")
+    write_slippy_pngs(masks_df(6), root)
+    assert len(glob.glob(root + "/*/*/*.png")) == 6
+    write_slippy_pngs(masks_df(2), root)
+    assert len(glob.glob(root + "/*/*/*.png")) == 2
