@@ -36,12 +36,19 @@ def test_media_meta_struct(spark, media):
 
 
 def test_decode_stub_raises_without_fake(spark, media):
-    from py4j.protocol import Py4JJavaError
-
+    """fake=False error contract: a PNG-magic-but-malformed payload
+    surfaces the codec's ValueError; non-PNG formats surface the
+    NotImplementedError stub message (PNG decode itself is real now)."""
     df = decode_images(media, key_col="url", data_col="data", fake=False)
     with pytest.raises(Exception) as ei:
         df.count()
-    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+    msg = str(ei.value)
+    assert (
+        "malformed PNG" in msg
+        or "truncated" in msg
+        or "NotImplementedError" in msg
+        or "non-PNG decode" in msg
+    ), msg
 
 
 def test_fake_decode_deterministic_and_resize(spark, media):
