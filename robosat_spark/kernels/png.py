@@ -123,20 +123,29 @@ def _decode_png(data: bytes) -> tuple[np.ndarray, list[int] | None]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
-        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(f"unsupported PNG variant (interlace={interlace})")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported color type {color_type}")
+    # sub-byte depths (1/2/4) appear for gray & palette only (PIL writes
+    # binary masks as depth-1 palette PNGs — the reference's own goldens);
+    # multi-channel types require depth 8
+    if depth == 8:
+        pass
+    elif depth in (1, 2, 4) and color_type in (0, 3):
+        pass
+    else:
+        raise ValueError(f"unsupported bit depth {depth} for color type {color_type}")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
+    stride = (w * channels * depth + 7) // 8
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
+    # filters operate on BYTES; for sub-byte depths the left-neighbor
+    # distance is one byte (PNG spec: bpp = max(1, channels*depth/8))
+    bpp = max(1, channels * depth // 8)
     for y in range(h):
         ftype = rows[y, 0]
         line = rows[y, 1:].astype(np.int32)
@@ -164,7 +173,17 @@ def _decode_png(data: bytes) -> tuple[np.ndarray, list[int] | None]:
         else:
             raise ValueError(f"bad filter type {ftype}")
         out[y] = rec.astype(np.uint8)
-    if channels == 1:
+    if depth < 8:
+        # unpack bit-packed samples (big-endian within each byte)
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        if depth == 1:
+            samples = bits
+        else:
+            samples = np.zeros((h, w), dtype=np.uint8)
+            for k in range(depth):
+                samples = (samples << 1) | bits[:, k::depth]
+        img = samples.reshape(h, w).astype(np.uint8)
+    elif channels == 1:
         img = out.reshape(h, w)
     else:
         img = out.reshape(h, w, channels)

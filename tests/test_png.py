@@ -150,3 +150,64 @@ def test_write_slippy_pngs_overwrites_stale_tiles(spark, tmp_path):
     assert len(glob.glob(root + "/*/*/*.png")) == 6
     write_slippy_pngs(masks_df(2), root)
     assert len(glob.glob(root + "/*/*/*.png")) == 2
+
+
+def test_reference_golden_labels_bit_for_bit(spark):
+    """THE parity test: rasterize the reference's own features.geojson for
+    its own tiles.csv and compare against the reference's shipped golden
+    label PNGs (PIL-written, 1-bit palette, Up/Paeth-filtered) — decoded
+    with OUR from-scratch codec. Agreement is exact: every pixel of every
+    tile, including the all-zero off-feature tile
+    (/root/reference/tests/fixtures/parking/*, the fixtures the reference's
+    own test_rasterize.py asserts against)."""
+    from robosat_spark.operators.rasterize import rasterize_masks
+    from robosat_spark.sources.fixtures import features_from_geojson, tiles_from_csv
+
+    ft = features_from_geojson(
+        spark, "/root/reference/tests/fixtures/parking/features.geojson"
+    )
+    tiles = tiles_from_csv(spark, "/root/reference/tests/fixtures/parking/tiles.csv")
+    masks = rasterize_masks(spark, tiles, ft, zoom=18, size=512)
+    ours = {
+        (r["x"], r["y"]): np.frombuffer(r["data"], dtype=np.uint8).reshape(512, 512)
+        for r in masks.collect()
+    }
+    assert len(ours) == 4
+    for (x, y), grid in ours.items():
+        with open(
+            f"/root/reference/tests/fixtures/parking/labels/18/{x}/{y}.png", "rb"
+        ) as fh:
+            gold, _pal = decode_png(fh.read())
+        assert np.array_equal(grid > 0, gold > 0), (x, y)
+        assert int(np.count_nonzero(grid)) == int(np.count_nonzero(gold))
+
+
+def test_png_decode_sub_byte_depths():
+    """Depth-1/2/4 palette/gray decode (PIL writes binary masks as 1-bit):
+    pack known samples by hand and roundtrip through the decoder."""
+    import struct
+    import zlib
+
+    for depth, w in [(1, 10), (2, 7), (4, 5)]:
+        rng = np.random.RandomState(depth)
+        raw = rng.randint(0, 1 << depth, size=(3, w), dtype=np.uint8)
+        # bit-pack each row big-endian, filter byte 0
+        out = bytearray()
+        for row in raw:
+            bits = []
+            for v in row:
+                bits.extend((int(v) >> (depth - 1 - k)) & 1 for k in range(depth))
+            bits += [0] * (-len(bits) % 8)
+            packed = np.packbits(np.array(bits, dtype=np.uint8))
+            out.append(0)
+            out += packed.tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, 3, depth, 3, 0, 0, 0)
+        png = (
+            _SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", bytes([0, 0, 0] * (1 << depth)))
+            + _chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _chunk(b"IEND", b"")
+        )
+        img, _ = decode_png(png)
+        assert np.array_equal(img, raw), depth
