@@ -131,6 +131,90 @@ def morton_cell(x: Column, y: Column, zoom: int) -> Column:
     return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
 
 
+def _morton_py(x: int, y: int) -> int:
+    """Driver-side twin of morton_cell's interleave (one point)."""
+    def spread(v: int) -> int:
+        v &= 0xFFFFFFFF
+        for shift, mask in [
+            (16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]:
+            v = (v | (v << shift)) & mask
+        return v
+
+    return spread(x) | (spread(y) << 1)
+
+
+def morton_ranges(
+    tx0: int, ty0: int, tx1: int, ty1: int, zoom: int, max_ranges: int = 64
+) -> list[tuple[int, int]]:
+    """Decompose a tile bbox (inclusive corners at ``zoom``) into covering
+    Z-order intervals — the scan-pruning primitive for tables CLUSTERED BY
+    the morton cell (the Iceberg/Delta Z-ORDER layout): a bbox query
+    becomes a handful of `morton BETWEEN lo AND hi` predicates that parquet
+    row-group statistics prune to the touched data.
+
+    Quadtree recursion: a quad fully inside the bbox contributes its whole
+    contiguous morton interval [prefix·4^(z-l), prefix·4^(z-l)+4^(z-l)-1];
+    partial quads split. ``max_ranges`` bounds the predicate size — when
+    the exact decomposition would exceed it, sibling intervals merge
+    (slightly looser ranges, still a superset: pruning stays CORRECT, the
+    exact lon/lat refine downstream keeps semantics exact)."""
+    out: list[tuple[int, int]] = []
+
+    def rec(level: int, qx: int, qy: int) -> None:
+        side = 1 << (zoom - level)
+        x_lo, x_hi = qx * side, qx * side + side - 1
+        y_lo, y_hi = qy * side, qy * side + side - 1
+        if x_hi < tx0 or x_lo > tx1 or y_hi < ty0 or y_lo > ty1:
+            return
+        if x_lo >= tx0 and x_hi <= tx1 and y_lo >= ty0 and y_hi <= ty1:
+            base = _morton_py(x_lo, y_lo)
+            out.append((base, base + side * side - 1))
+            return
+        if level == zoom:
+            base = _morton_py(x_lo, y_lo)
+            out.append((base, base))
+            return
+        for dy in (0, 1):
+            for dx in (0, 1):
+                rec(level + 1, qx * 2 + dx, qy * 2 + dy)
+
+    rec(0, 0, 0)
+    out.sort()
+    # coalesce adjacent/overlapping intervals
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    # enforce the predicate-size bound by merging the closest gaps (keeps
+    # a SUPERSET of the exact cover — pruning correctness is preserved)
+    while len(merged) > max_ranges:
+        gaps = [
+            (merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)
+        ]
+        _, i = min(gaps)
+        merged[i] = (merged[i][0], merged[i + 1][1])
+        del merged[i + 1]
+    return merged
+
+
+def morton_range_filter(morton_col: Column, ranges: list[tuple[int, int]]) -> Column:
+    """OR-of-BETWEEN predicate over a morton column — plain comparisons,
+    so Catalyst pushes it into the parquet scan (PushedFilters) and
+    row-group stats on a Z-ordered table skip untouched data."""
+    if not ranges:
+        return F.lit(False)
+    pred = None
+    for lo, hi in ranges:
+        clause = morton_col.between(int(lo), int(hi))
+        pred = clause if pred is None else pred | clause
+    return pred
+
+
 def neighbor_offsets_df(spark, include_self: bool = False):
     """Tiny 8-row (dx, dy) offsets DataFrame for halo/adjacency joins
     (J6 pattern, /root/reference/robosat/tiles.py:139-159). Always

@@ -67,6 +67,7 @@ def _register_builtins() -> None:
         ("tile_x", tiles.tile_x), ("tile_y", tiles.tile_y),
         ("pack_tile_id", tiles.pack_tile_id), ("quadkey", tiles.quadkey),
         ("morton_cell", tiles.morton_cell),
+        ("morton_range_filter", tiles.morton_range_filter),
         ("geotag_lon", tiles.geotag_lon), ("geotag_lat", tiles.geotag_lat),
         ("token_count", text.token_count), ("lang_id", text.lang_id),
         ("quality_score", text.quality_score),

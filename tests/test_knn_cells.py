@@ -118,3 +118,77 @@ def test_hex_cell_locality(spark):
     }
     assert cells[0] == cells[1]  # ~15 m apart -> same 1 km hex
     assert cells[0] != cells[2]  # ~300 km apart -> different
+
+
+def test_morton_ranges_exact_cover_and_superset():
+    """Quadtree Z-order decomposition: with an unbounded range budget the
+    cover is EXACT (tile in bbox <=> morton in some interval); with a tight
+    budget it's a superset (pruning stays correct)."""
+    from robosat_spark.functions.tiles import _morton_py, morton_ranges
+
+    z = 6
+    rng = np.random.RandomState(4)
+    for _ in range(20):
+        x0, y0 = rng.randint(0, 60, 2)
+        x1, y1 = x0 + rng.randint(0, 63 - x0), y0 + rng.randint(0, 63 - y0)
+        exact = morton_ranges(int(x0), int(y0), int(x1), int(y1), z, max_ranges=10**6)
+        tight = morton_ranges(int(x0), int(y0), int(x1), int(y1), z, max_ranges=4)
+        assert len(tight) <= 4
+        for x in range(64):
+            for y in range(64):
+                m = _morton_py(x, y)
+                inside = x0 <= x <= x1 and y0 <= y <= y1
+                in_exact = any(lo <= m <= hi for lo, hi in exact)
+                assert in_exact == inside, (x, y)
+                if inside:
+                    assert any(lo <= m <= hi for lo, hi in tight)
+
+
+def test_morton_range_scan_pruned_and_equivalent(spark, tmp_path):
+    """Z-ordered layout + morton_range_filter: same rows as the direct
+    lon/lat bbox filter, and the morton BETWEEN predicates reach the
+    parquet scan (PushedFilters) so row-group stats can prune."""
+    from robosat_spark.functions.tiles import (
+        morton_cell,
+        morton_range_filter,
+        morton_ranges,
+        tile_x,
+        tile_y,
+    )
+    from robosat_spark.operators.spatial_join import geotagged_points
+    from robosat_spark.sources.pages import pages
+
+    zoom = 10
+    pts = geotagged_points(pages(spark, 4000), zoom=zoom).withColumn(
+        "morton", morton_cell(tile_x(F.col("lon"), zoom), tile_y(F.col("lat"), zoom), zoom)
+    )
+    path = str(tmp_path / "zordered")
+    # the Z-ORDER layout: sort by morton so row groups are spatially tight
+    pts.repartition(1).sortWithinPartitions("morton").write.parquet(path)
+    table = spark.read.parquet(path)
+
+    lon0, lon1, lat0, lat1 = -83.0, -82.0, 34.0, 35.0
+    tx0, tx1 = spark.range(1).select(
+        tile_x(F.lit(lon0), zoom), tile_x(F.lit(lon1), zoom)
+    ).collect()[0]
+    ty0, ty1 = spark.range(1).select(
+        tile_y(F.lit(lat1), zoom), tile_y(F.lit(lat0), zoom)
+    ).collect()[0]
+    ranges = morton_ranges(tx0, ty0, tx1, ty1, zoom, max_ranges=32)
+
+    direct = table.filter(
+        (F.col("lon") >= lon0) & (F.col("lon") <= lon1)
+        & (F.col("lat") >= lat0) & (F.col("lat") <= lat1)
+    )
+    pruned = table.filter(morton_range_filter(F.col("morton"), ranges)).filter(
+        (F.col("lon") >= lon0) & (F.col("lon") <= lon1)
+        & (F.col("lat") >= lat0) & (F.col("lat") <= lat1)
+    )
+    a = sorted(r["url"] for r in direct.collect())
+    b = sorted(r["url"] for r in pruned.collect())
+    assert a == b and len(a) > 0
+
+    plan = table.filter(
+        morton_range_filter(F.col("morton"), ranges)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "morton" in plan.split("PushedFilters")[1][:400], plan
