@@ -218,6 +218,42 @@ def _q_hex_encode(spark, sf_dir):
     )
 
 
+def _q_morton_bbox(spark, sf_dir):
+    """Z-order pruned bbox count: the scan filters on Morton BETWEEN
+    intervals (pushed to parquet row-group stats on a Z-ordered layout)
+    with an exact lon/lat refine — the storage-level spatial pruning
+    pattern; oracle is the direct bbox count."""
+    from robosat_spark.functions.tiles import (
+        morton_cell,
+        morton_range_filter,
+        morton_ranges,
+        tile_x,
+        tile_y,
+    )
+    from robosat_spark.kernels.mercator import lonlat_to_tile
+    from robosat_spark.operators.spatial_join import geotagged_points
+    from robosat_spark.sources.pages import pages_from_events
+
+    zoom = 10
+    lon0, lon1, lat0, lat1 = -120.0, -60.0, 10.0, 50.0
+    pts = geotagged_points(pages_from_events(spark, sf_dir), zoom=zoom).withColumn(
+        "morton", morton_cell(tile_x(F.col("lon"), zoom), tile_y(F.col("lat"), zoom), zoom)
+    )
+    # in the real layout the morton key is a STORED table column (that is
+    # what Z-ordering the table means); the barrier stands in for that —
+    # without it Catalyst inlines the interleave expression into all 64
+    # BETWEENs and codegen explodes
+    pts = pts.localCheckpoint(eager=False)
+    tx0, ty0 = lonlat_to_tile(lon0, lat1, zoom)
+    tx1, ty1 = lonlat_to_tile(lon1, lat0, zoom)
+    ranges = morton_ranges(int(tx0), int(ty0), int(tx1), int(ty1), zoom, max_ranges=64)
+    pruned = pts.filter(morton_range_filter(F.col("morton"), ranges))
+    return pruned.filter(
+        (F.col("lon") >= lon0) & (F.col("lon") <= lon1)
+        & (F.col("lat") >= lat0) & (F.col("lat") <= lat1)
+    ).agg(F.count("*").alias("n_pages"), F.countDistinct("url").alias("n_urls"))
+
+
 def _q_tile_adjacency(spark, sf_dir):
     """J6 tile-adjacency self-join: count occupied neighbor pairs among
     the distinct z12 tiles of the geotagged points."""
@@ -945,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "tile_encode": _q_tile_encode,
         "tile_adjacency": _q_tile_adjacency,
+        "morton_bbox": _q_morton_bbox,
         "cell_encode": _q_cell_encode,
         "hex_encode": _q_hex_encode,
         "tile_pyramid_rollup": _q_tile_pyramid_rollup,
@@ -1169,6 +1206,13 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT {tx12} AS tx, {ty12} AS ty
               FROM ({_PAGES}) WHERE lon IS NOT NULL AND lat IS NOT NULL)
         GROUP BY 1
+    """
+
+    sql["morton_bbox"] = f"""
+        SELECT COUNT(*) AS n_pages, COUNT(DISTINCT url) AS n_urls
+        FROM ({_PAGES})
+        WHERE lon IS NOT NULL AND lat IS NOT NULL
+          AND lon >= -120.0 AND lon <= -60.0 AND lat >= 10.0 AND lat <= 50.0
     """
 
     sql["tile_adjacency"] = f"""

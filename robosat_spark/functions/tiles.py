@@ -208,11 +208,17 @@ def morton_range_filter(morton_col: Column, ranges: list[tuple[int, int]]) -> Co
     row-group stats on a Z-ordered table skip untouched data."""
     if not ranges:
         return F.lit(False)
-    pred = None
-    for lo, hi in ranges:
-        clause = morton_col.between(int(lo), int(hi))
-        pred = clause if pred is None else pred | clause
-    return pred
+
+    def build(lo_i: int, hi_i: int) -> Column:
+        # BALANCED Or tree: a left-deep chain of ~50+ Ors overflows the
+        # codegen visitor's stack; log-depth keeps any range count safe
+        if lo_i == hi_i:
+            lo, hi = ranges[lo_i]
+            return morton_col.between(int(lo), int(hi))
+        mid = (lo_i + hi_i) // 2
+        return build(lo_i, mid) | build(mid + 1, hi_i)
+
+    return build(0, len(ranges) - 1)
 
 
 def neighbor_offsets_df(spark, include_self: bool = False):
