@@ -81,13 +81,16 @@ def decode_images(
 ) -> DataFrame:
     """binary column -> (key, h, w, channels, pixels) via Arrow batches.
 
-    PNG payloads (magic-sniffed) decode for real via kernels.png —
-    palette PNGs yield the class-INDEX grid, matching the mask-pipeline
-    contract. Non-PNG payloads with ``fake=False`` raise
-    NotImplementedError at plan-execution time (JPEG/WebP need native libs
-    absent here); ``fake=True`` substitutes the deterministic stub. The
-    Spark plumbing — column pruning before the UDF, Arrow batch iteration,
-    output schema — is the real production shape either way."""
+    ``fake=True`` honors the stub contract UNCONDITIONALLY: every payload
+    (valid PNGs included) yields the deterministic fixed-shape
+    ``fake_decode_bytes`` grid, so callers get a stable (h, w, channels)
+    regardless of payload contents. ``fake=False`` decodes for real: PNG
+    and baseline JPEG via the from-scratch kernels (palette PNGs yield the
+    class-INDEX grid, matching the mask-pipeline contract); other formats
+    raise NotImplementedError at plan-execution time (WebP/video need
+    native libs absent here). The Spark plumbing — column pruning before
+    the UDF, Arrow batch iteration, output schema — is the real production
+    shape either way."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.png import decode_png
@@ -96,29 +99,27 @@ def decode_images(
             rows = []
             for key, payload in zip(pdf[key_col], pdf[data_col]):
                 payload = bytes(payload)
+                if fake:
+                    grid = fake_decode_bytes(payload, h, w, channels)
+                    rows.append((key, h, w, channels, grid.tobytes()))
+                    continue
                 if payload[:8] == b"\x89PNG\r\n\x1a\n":
-                    try:
-                        grid, _pal = decode_png(payload)
-                    except ValueError:
-                        # PNG magic but malformed body: stub it under
-                        # fake=True, surface the parse error otherwise
-                        if not fake:
-                            raise
-                    else:
-                        if grid.ndim == 2:
-                            grid = grid[:, :, None]
-                        rows.append(
-                            (key, grid.shape[0], grid.shape[1], grid.shape[2],
-                             grid.tobytes())
-                        )
-                        continue
-                if not fake:
+                    grid, _pal = decode_png(payload)
+                elif payload[:3] == b"\xff\xd8\xff":
+                    from ..kernels.jpeg import decode_jpeg
+
+                    grid = decode_jpeg(payload)
+                else:
                     raise NotImplementedError(
-                        "non-PNG decode requires PIL/cv2 (absent in this "
+                        "only PNG/baseline-JPEG decode is implemented from "
+                        "scratch (WebP/video need native libs absent in this "
                         "environment); pass fake=True for the deterministic stub"
                     )
-                grid = fake_decode_bytes(payload, h, w, channels)
-                rows.append((key, h, w, channels, grid.tobytes()))
+                if grid.ndim == 2:
+                    grid = grid[:, :, None]
+                rows.append(
+                    (key, grid.shape[0], grid.shape[1], grid.shape[2], grid.tobytes())
+                )
             if rows:
                 yield pd.DataFrame(rows, columns=["key", "h", "w", "channels", "pixels"])
 

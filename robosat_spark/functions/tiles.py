@@ -190,15 +190,25 @@ def morton_ranges(
             merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
         else:
             merged.append((lo, hi))
-    # enforce the predicate-size bound by merging the closest gaps (keeps
-    # a SUPERSET of the exact cover — pruning correctness is preserved)
-    while len(merged) > max_ranges:
-        gaps = [
-            (merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)
-        ]
-        _, i = min(gaps)
-        merged[i] = (merged[i][0], merged[i + 1][1])
-        del merged[i + 1]
+    # enforce the predicate-size bound by merging across the (n - max)
+    # SMALLEST gaps in one pass (keeps a SUPERSET of the exact cover —
+    # pruning correctness is preserved). O(n log n), not the O(n²)
+    # recompute-and-del loop: tall/thin bboxes at high zoom can produce
+    # tens of thousands of exact intervals, and this runs on the driver
+    # per query.
+    if len(merged) > max_ranges:
+        gaps = sorted(
+            range(len(merged) - 1),
+            key=lambda i: merged[i + 1][0] - merged[i][1],
+        )
+        drop = set(gaps[: len(merged) - max_ranges])  # gap i joins interval i & i+1
+        out2: list[tuple[int, int]] = []
+        for i, (lo, hi) in enumerate(merged):
+            if out2 and (i - 1) in drop:
+                out2[-1] = (out2[-1][0], hi)
+            else:
+                out2.append((lo, hi))
+        merged = out2
     return merged
 
 

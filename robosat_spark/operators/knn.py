@@ -54,6 +54,26 @@ def _tile_edge_lat(y: "F.Column", zoom: int) -> "F.Column":
     return F.degrees(F.atan(F.sinh(F.lit(math.pi) * (1.0 - 2.0 * y.cast("double") / F.lit(n)))))
 
 
+def estimate_centroid_bytes(features: DataFrame) -> int:
+    """Rough broadcast size of the centroid table: one tiny count on the
+    feature side (3 numeric cols + row overhead ≈ 48 B/feature)."""
+    return int(features.select(F.count("*").alias("n")).collect()[0]["n"] or 0) * 48
+
+
+def choose_knn_tail_strategy(
+    features: DataFrame, max_broadcast_bytes: int = 64 << 20
+) -> str:
+    """'broadcast' when the straggler tail's feature-centroid table fits
+    the broadcast budget, else 'cartesian' (distributed nested-loop over
+    the FEW unresolved stragglers — no single-executor memory blowup).
+    Separate from ``knn_cells`` so the decision is unit-testable."""
+    return (
+        "broadcast"
+        if estimate_centroid_bytes(features) <= max_broadcast_bytes
+        else "cartesian"
+    )
+
+
 def knn_cells(
     spark: SparkSession,
     points: DataFrame,
@@ -61,6 +81,7 @@ def knn_cells(
     k: int = 3,
     zoom: int = 7,
     max_doublings: int = 3,
+    max_broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """EXACT distributed kNN via neighbor-cell equi-joins (the scale path;
     ``knn_bruteforce`` is the O(P·F) oracle it must match).
@@ -134,9 +155,16 @@ def knn_cells(
 
     # exact fallback for the (few) stragglers — keeps the operator total.
     # Inlined (not knn_bruteforce) so d2 is computed once, never via a
-    # sqrt->square round-trip that could differ in the last ulp.
+    # sqrt->square round-trip that could differ in the last ulp. The
+    # feature side only rides a broadcast when it FITS the budget;
+    # otherwise the tail runs as a distributed cartesian product — the
+    # straggler side is tiny by now, so O(stragglers x F) shuffle work is
+    # bounded and no executor has to hold the whole centroid table.
     tail = remaining.select("url", "lon", "lat")
-    tail_cand = tail.crossJoin(F.broadcast(feature_centroids(features))).withColumn("d2", d2)
+    tail_cents = cents.select("feature_id", "c_lon", "c_lat")
+    if choose_knn_tail_strategy(features, max_broadcast_bytes) == "broadcast":
+        tail_cents = F.broadcast(tail_cents)
+    tail_cand = tail.crossJoin(tail_cents).withColumn("d2", d2)
     wtail = Window.partitionBy("url").orderBy(F.col("d2").asc(), F.col("feature_id").asc())
     resolved_parts.append(
         tail_cand.withColumn("rank", F.row_number().over(wtail))

@@ -73,16 +73,19 @@ def write_slippy_pngs(masks: DataFrame, root: str, palette: list[int] | None = N
     zlib codec (kernels.png) inside ``foreachPartition`` — one task writes
     its own tiles, no driver collection. ``root`` must be a path visible to
     executors (local/NFS/fuse mount). Overwrite semantics like the other
-    sinks: an existing root is cleared first (stale tiles from a previous,
-    larger cover would otherwise survive and break the write->scan
-    identity); files land via tmp-name + os.replace so speculative task
-    retries never expose partial PNGs."""
+    sinks, but STAGED like the parquet writers: the job writes into a
+    fresh staging directory and the swap to ``root`` happens only after
+    the job succeeds (a mid-job failure leaves the previous output
+    untouched, and read-from-root-then-rewrite-to-root keeps working);
+    stale tiles from a previous, larger cover can't survive because the
+    whole root is replaced. Files land via tmp-name (pid+uuid suffix) +
+    os.replace so speculative task retries never expose partial PNGs."""
     import shutil
+    import uuid
 
     import numpy as np
 
-    if os.path.isdir(root):
-        shutil.rmtree(root)
+    staging = f"{root.rstrip(os.sep)}.staging-{uuid.uuid4().hex[:12]}"
     cols = masks.select("z", "x", "y", "w", "h", "data")
 
     def sink(rows):
@@ -90,15 +93,27 @@ def write_slippy_pngs(masks: DataFrame, root: str, palette: list[int] | None = N
 
         for r in rows:
             grid = np.frombuffer(r["data"], dtype=np.uint8).reshape(r["h"], r["w"])
-            d = os.path.join(root, str(r["z"]), str(r["x"]))
+            d = os.path.join(staging, str(r["z"]), str(r["x"]))
             os.makedirs(d, exist_ok=True)
             final = os.path.join(d, f"{r['y']}.png")
-            tmp = final + f".tmp.{os.getpid()}"
+            tmp = final + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
             with open(tmp, "wb") as f:
                 f.write(encode_png(grid, palette=palette))
             os.replace(tmp, final)
 
-    cols.foreachPartition(sink)
+    try:
+        cols.foreachPartition(sink)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    os.makedirs(staging, exist_ok=True)  # zero-row job still produces a root
+    old = None
+    if os.path.isdir(root):
+        old = f"{root.rstrip(os.sep)}.old-{uuid.uuid4().hex[:12]}"
+        os.replace(root, old)
+    os.replace(staging, root)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def read_slippy_grids(spark, root: str) -> DataFrame:

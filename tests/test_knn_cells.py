@@ -192,3 +192,29 @@ def test_morton_range_scan_pruned_and_equivalent(spark, tmp_path):
         morton_range_filter(F.col("morton"), ranges)
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "morton" in plan.split("PushedFilters")[1][:400], plan
+
+
+def test_knn_tail_strategy_guard(spark, points, dense_feats):
+    """Oversized feature side -> the tail must choose the non-broadcast
+    cartesian path (and the tiny fixture side stays broadcast)."""
+    from robosat_spark.operators.knn import (
+        choose_knn_tail_strategy,
+        estimate_centroid_bytes,
+        knn_cells,
+    )
+
+    est = estimate_centroid_bytes(dense_feats)
+    assert est > 0
+    assert choose_knn_tail_strategy(dense_feats) == "broadcast"
+    # shrink the budget below the estimate: the safe path is selected
+    assert choose_knn_tail_strategy(dense_feats, max_broadcast_bytes=est - 1) == "cartesian"
+
+    # the cartesian tail is exact: same rows as the broadcast-tail plan,
+    # forced by max_doublings=0 so EVERY point goes through the tail
+    wide = knn_cells(spark, points, dense_feats, k=2, zoom=7, max_doublings=0)
+    tight = knn_cells(
+        spark, points, dense_feats, k=2, zoom=7, max_doublings=0, max_broadcast_bytes=1
+    )
+    a = sorted(map(tuple, wide.select("url", "feature_id", "rank").collect()))
+    b = sorted(map(tuple, tight.select("url", "feature_id", "rank").collect()))
+    assert a == b and len(a) > 0

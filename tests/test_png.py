@@ -178,8 +178,9 @@ def test_reference_golden_labels_bit_for_bit(spark):
             f"/root/reference/tests/fixtures/parking/labels/18/{x}/{y}.png", "rb"
         ) as fh:
             gold, _pal = decode_png(fh.read())
-        assert np.array_equal(grid > 0, gold > 0), (x, y)
-        assert int(np.count_nonzero(grid)) == int(np.count_nonzero(gold))
+        # true value parity: both store class INDICES (0 background,
+        # 1 parking), not a binarized footprint
+        assert np.array_equal(grid, gold), (x, y)
 
 
 def test_png_decode_sub_byte_depths():
