@@ -647,8 +647,10 @@ def _q_top_tokens(spark, sf_dir):
 
 
 def _q_doc_fingerprint_rolling(spark, sf_dir):
-    """Winnowing-style rolling-hash document fingerprint (pandas-UDF path;
-    genuinely non-SQL — no oracle entry, rows-only check)."""
+    """Winnowing-style rolling-hash document fingerprint (pandas-UDF
+    path). VALUE-checked: the DuckDB twin replays the identical
+    codepoint-polynomial min with list lambdas (brute-force per-window
+    reduce — same modulus, base, and window)."""
     import pandas as pd
 
     from robosat_spark.kernels.hashing import rolling_fingerprint
@@ -722,16 +724,98 @@ def _q_halo_stitch(spark, sf_dir):
     return halo.mapInPandas(gen, "x LONG, y LONG, nonzero LONG")
 
 
-def _q_class_weights(spark, sf_dir):
-    """A2/A3 class histogram + 1/ln(1.02+p) weights over rasterized masks.
-    Non-SQL (raster) — rows-only check."""
+def _seg_fixture_tiles(zoom: int = 12, count: int = 16) -> list[tuple[int, int]]:
+    """First ``count`` cover tiles (sorted by x, y) of oracle rect 0 at
+    ``zoom`` — closed-form floor arithmetic: the rect is axis-aligned, so
+    its cover is exactly the tile-index box (the same identity the `cover`
+    oracle SQL asserts with generate_series)."""
+    import math
+
+    from robosat_spark.sources.oracle_features import ORACLE_RECTS
+
+    _fid, x0, y0, x1, y1 = ORACLE_RECTS[0]
+    n = float(2**zoom)
+
+    def tx(lon: float) -> int:
+        return int(min(max(math.floor((lon + 180.0) / 360.0 * n), 0), int(n) - 1))
+
+    def ty(lat: float) -> int:
+        lat = min(max(lat, -85.051128779806604), 85.051128779806604)
+        t = math.tan(math.radians(lat))
+        return int(
+            min(max(math.floor((1.0 - math.asinh(t) / math.pi) / 2.0 * n), 0), int(n) - 1)
+        )
+
+    tiles = [
+        (X, Y)
+        for X in range(tx(x0), tx(x1) + 1)
+        for Y in range(ty(y1), ty(y0) + 1)
+    ]
+    tiles.sort()
+    return tiles[:count]
+
+
+def _seg_fixture_expected(zoom: int = 12, size: int = 128, count: int = 16):
+    """-> (n_class1_pixels, (tn, fn, fp, tp)) over the fixture tiles.
+
+    ANALYTIC truth counts: the oracle rect is axis-aligned, so the
+    pixel-center-inside burn convention reduces to an outer product of
+    1-D column/row membership tests (pure coordinate arithmetic — the
+    raster kernel is never executed here). The confusion split replays the
+    per-tile seeded salt-and-pepper noise of ``synthesize_probs`` (a test
+    scaffold, not an operator under test): with two IDENTICAL noise
+    realizations soft-voted, the predicted pixel is exactly
+    truth XOR flip, so tn/fn/fp/tp are exact integers."""
+    import numpy as np
+
+    from robosat_spark.kernels.mercator import lonlat_to_mercator, tile_xy_bounds
+    from robosat_spark.sources.oracle_features import ORACLE_RECTS
+
+    _fid, x0, y0, x1, y1 = ORACLE_RECTS[0]
+    ex0, ey0 = lonlat_to_mercator(x0, y0)
+    ex1, ey1 = lonlat_to_mercator(x1, y1)
+    n1 = 0
+    tn = fn = fp = tp = 0
+    centers = np.arange(size, dtype=np.float64) + 0.5
+    for X, Y in _seg_fixture_tiles(zoom, count):
+        left, _bottom, right, top = tile_xy_bounds(X, Y, zoom)
+        sx = size / (right - left)
+        sy = size / (top - _bottom)
+        px0, px1 = (ex0 - left) * sx, (ex1 - left) * sx
+        py_top, py_bot = (top - ey1) * sy, (top - ey0) * sy
+        col_in = (centers >= min(px0, px1)) & (centers < max(px0, px1))
+        row_in = (centers >= min(py_top, py_bot)) & (centers < max(py_top, py_bot))
+        truth = np.outer(row_in, col_in)
+        n1 += int(truth.sum())
+        rng = np.random.RandomState((X * 73856093 ^ Y * 19349663) % (2**31))
+        flip = rng.rand(size, size) < 0.02
+        tp += int(np.count_nonzero(truth & ~flip))
+        fn += int(np.count_nonzero(truth & flip))
+        fp += int(np.count_nonzero(~truth & flip))
+        tn += int(np.count_nonzero(~truth & ~flip))
+    return n1, (tn, fn, fp, tp)
+
+
+def _seg_fixture_frames(spark, zoom: int = 12, count: int = 16):
+    """(feature df, deterministic first-``count`` cover tiles) shared by
+    the class_weights / seg_metrics value-checked queries."""
     from robosat_spark.operators.cover import cover
-    from robosat_spark.operators.rasterize import rasterize_masks
-    from robosat_spark.operators.weights import class_histogram, class_weights
     from robosat_spark.sources.oracle_features import oracle_rect_features
 
-    ft = oracle_rect_features(spark).limit(1)
-    tiles = cover(ft, zoom=12).select("x", "y").limit(16)
+    ft = oracle_rect_features(spark).filter(F.col("feature_id") == 0)
+    tiles = cover(ft, zoom=zoom).select("x", "y").orderBy("x", "y").limit(count)
+    return ft, tiles
+
+
+def _q_class_weights(spark, sf_dir):
+    """A2/A3 class histogram + 1/ln(1.02+p) weights over rasterized masks.
+    VALUE-checked: the oracle pins the histogram to the analytic
+    pixel-center counts of the axis-aligned fixture rect and recomputes
+    p / weight from those integers with the same formula."""
+    from robosat_spark.operators.rasterize import rasterize_masks
+    from robosat_spark.operators.weights import class_histogram, class_weights
+
+    ft, tiles = _seg_fixture_frames(spark)
     masks = rasterize_masks(spark, tiles, ft, zoom=12, size=128)
     return class_weights(class_histogram(masks, num_classes=2))
 
@@ -785,18 +869,18 @@ def _q_feature_merge(spark, sf_dir):
 def _q_seg_metrics(spark, sf_dir):
     """P1+P2+A4 e2e: rasterize truth, synthesize two noisy 'model'
     probability sets, soft-vote them back to masks, score vs truth
-    (tn/fn/fp/tp + mIoU/fgIoU/MCC). Non-SQL (raster) — rows-only check."""
-    from robosat_spark.operators.cover import cover
+    (tn/fn/fp/tp + mIoU/fgIoU/MCC). VALUE-checked: the two noise
+    realizations share per-tile seeds, so predicted = truth XOR flip and
+    the oracle pins the confusion counters to analytic integers (see
+    ``_seg_fixture_expected``), recomputing the metric formulas in SQL."""
     from robosat_spark.operators.ensemble import (
         confusion_counts,
         segmentation_metrics,
         soft_vote,
     )
     from robosat_spark.operators.rasterize import rasterize_masks, synthesize_probs
-    from robosat_spark.sources.oracle_features import oracle_rect_features
 
-    ft = oracle_rect_features(spark).limit(1)
-    tiles = cover(ft, zoom=12).select("x", "y").limit(16)
+    ft, tiles = _seg_fixture_frames(spark)
     truth = rasterize_masks(spark, tiles, ft, zoom=12, size=128)
     probs_a = synthesize_probs(truth, noise=0.02)
     probs_b = synthesize_probs(truth, noise=0.02)
@@ -1536,6 +1620,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST({_mc_fid} AS BIGINT) AS component,
                CAST(3 AS INT) AS n_members,
                TRUE AS area_ok
+    """
+
+    # class_weights / seg_metrics: histogram + confusion pinned to the
+    # ANALYTIC pixel counts of the axis-aligned fixture rect (pixel-center
+    # membership is closed-form; the noise split replays the seeded
+    # scaffold) — p/weight and mIoU/fgIoU/MCC recomputed in SQL with the
+    # same double-precision expression structure as the Spark plans.
+    _n1, (_tn, _fn, _fp, _tp) = _seg_fixture_expected()
+    _total = 16 * 128 * 128
+    _n0 = _total - _n1
+    sql["class_weights"] = f"""
+        SELECT class, n,
+               ROUND(n / {float(_total)!r}, 9) AS p,
+               ROUND(1.0 / LN(1.02 + n / {float(_total)!r}), 6) AS weight
+        FROM (VALUES (CAST(0 AS INT), CAST({_n0} AS BIGINT)),
+                     (CAST(1 AS INT), CAST({_n1} AS BIGINT))) AS t(class, n)
+    """
+    # CAST(... AS DOUBLE): a bare 259462.0 literal is DECIMAL in DuckDB and
+    # the MCC product overflows DECIMAL(18) — the Spark side is double math
+    _tn_d, _fn_d, _fp_d, _tp_d = (
+        f"CAST({v} AS DOUBLE)" for v in (_tn, _fn, _fp, _tp)
+    )
+    _bg = f"({_tn_d} / ({_tn_d} + {_fn_d} + {_fp_d}))"
+    _fg = f"({_tp_d} / ({_tp_d} + {_fn_d} + {_fp_d}))"
+    _mcc = (
+        f"(({_tp_d} * {_tn_d} - {_fp_d} * {_fn_d}) / "
+        f"SQRT(({_tp_d} + {_fp_d}) * ({_tp_d} + {_fn_d}) * "
+        f"({_tn_d} + {_fp_d}) * ({_tn_d} + {_fn_d})))"
+    )
+    sql["seg_metrics"] = f"""
+        SELECT CAST({_tn} AS BIGINT) AS tn, CAST({_fn} AS BIGINT) AS fn,
+               CAST({_fp} AS BIGINT) AS fp, CAST({_tp} AS BIGINT) AS tp,
+               ROUND(({_bg} + {_fg}) / 2.0, 6) AS miou,
+               ROUND({_fg}, 6) AS fg_iou,
+               ROUND({_mcc}, 6) AS mcc
+    """
+
+    # doc_fingerprint_rolling: the kernel is a min over 64-codepoint-window
+    # polynomial hashes mod 2^61-1 base 257 — brute-force replay per window
+    # with list lambdas (HUGEINT accumulator: 61-bit * 257 overflows BIGINT)
+    sql["doc_fingerprint_rolling"] = r"""
+        WITH cps AS (
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(text, '.', 0, 's'), c -> ord(c)) AS cp
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(CASE
+                 WHEN len(cp) = 0 THEN 0
+                 WHEN len(cp) <= 64 THEN
+                   list_reduce(
+                     list_prepend(CAST(0 AS HUGEINT),
+                                  list_transform(cp, x -> CAST(x AS HUGEINT))),
+                     (a, c) -> (a * 257 + c) % 2305843009213693951)
+                 ELSE
+                   list_min(list_transform(generate_series(1, len(cp) - 63),
+                     i -> list_reduce(
+                            list_prepend(CAST(0 AS HUGEINT),
+                                         list_transform(list_slice(cp, i, i + 63),
+                                                        x -> CAST(x AS HUGEINT))),
+                            (a, c) -> (a * 257 + c) % 2305843009213693951)))
+               END AS BIGINT) AS fp
+        FROM cps
     """
 
     sql["ann_ivf"] = """

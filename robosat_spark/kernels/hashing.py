@@ -124,24 +124,27 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def rolling_fingerprint(text: str, window: int = 64, mod: int = (1 << 61) - 1, base: int = 257) -> int:
     """Winnowing-style document fingerprint: min rolling polynomial hash
-    over all windows (deterministic content fingerprint)."""
-    data = text.encode("utf-8")
-    n = len(data)
+    over all ``window``-codepoint windows (deterministic content
+    fingerprint). Defined over UNICODE CODE POINTS (not UTF-8 bytes) so a
+    SQL engine can replay it exactly with per-character ``ord`` — the
+    DuckDB twin in ``__spark_entry__.oracle_sql()['doc_fingerprint_rolling']``
+    evaluates the identical polynomial with list lambdas."""
+    cps = [ord(c) for c in text]
+    n = len(cps)
     if n == 0:
         return 0
     if n <= window:
         h = 0
-        for ch in data:
-            h = (h * base + ch) % mod
+        for cp in cps:
+            h = (h * base + cp) % mod
         return h
-    arr = np.frombuffer(data, dtype=np.uint8).astype(object)
     powers = pow(base, window - 1, mod)
     h = 0
-    for ch in data[:window]:
-        h = (h * base + ch) % mod
+    for cp in cps[:window]:
+        h = (h * base + cp) % mod
     best = h
     for i in range(window, n):
-        h = ((h - int(arr[i - window]) * powers) * base + int(arr[i])) % mod
+        h = ((h - cps[i - window] * powers) * base + cps[i]) % mod
         if h < best:
             best = h
     return best
