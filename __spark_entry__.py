@@ -524,8 +524,12 @@ def _q_dedup_clusters(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF ANN: deterministic coarse quantizer (first 16 vectors), nprobe=4,
-    top-5 within the probed cells — the bucketed scale path vs ann_cosine."""
+    """IVF ANN with a REAL coarse quantizer: 2 deterministic Lloyd's
+    iterations (init = first 16 vectors, member means folded in item_id
+    order so they are bit-reproducible), nprobe=4, top-5 within the probed
+    cells — the bucketed scale path vs ann_cosine. The DuckDB oracle
+    REPLAYS the identical k-means iterations (same fold order — centroids
+    verified bit-exact), so the quantizer itself is value-checked."""
     from robosat_spark.operators.ann import ann_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -535,8 +539,82 @@ def _q_ann_ivf(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qvec")
     )
-    out = ann_ivf(base, queries_df, n_centroids=16, nprobe=4, k=5)
+    out = ann_ivf(base, queries_df, n_centroids=16, nprobe=4, k=5, kmeans_iters=2)
     return out.select("query_id", "item_id", "rank", F.round("sim", 6).alias("sim"))
+
+
+def _q_knn_label_accuracy_ivf(spark, sf_dir):
+    """The SCALE path of the kNN-classification eval (gates the last weak
+    plan from round 2): ann_ivf candidates (Lloyd's quantizer, nprobe=4)
+    feed the SAME vote tail as ``knn_label_accuracy``, plus recall@5 of
+    the IVF candidates vs the exact brute-force top-5 — so the one-row
+    readout quantifies BOTH label accuracy and how much the ANN candidate
+    stage loses. Fully oracle-gated (the twin replays quantizer, probes,
+    votes, and recall)."""
+    from robosat_spark.operators.ann import ann_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("item_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+        F.col("label").alias("item_label"),
+    )
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    ivf_top = ann_ivf(
+        base.select("item_id", "vec"),
+        q.select("query_id", "qvec"),
+        n_centroids=16,
+        nprobe=4,
+        k=5,
+        kmeans_iters=2,
+    ).select("query_id", "item_id")
+
+    # vote tail — identical to knn_label_accuracy
+    top = ivf_top.join(base.select("item_id", "item_label"), "item_id").join(
+        q.select("query_id", "true_label"), "query_id"
+    )
+    votes = top.groupBy("query_id", "true_label", "item_label").agg(F.count("*").alias("v"))
+    wv = Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("item_label").asc())
+    pred = votes.withColumn("rv", F.row_number().over(wv)).filter(F.col("rv") == 1)
+    acc = pred.agg(
+        F.count("*").alias("n_queries"),
+        F.sum(F.when(F.col("item_label") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.avg(F.when(F.col("item_label") == F.col("true_label"), 1.0).otherwise(0.0)), 6
+        ).alias("accuracy"),
+    )
+
+    # recall@5 of the IVF candidates vs exact brute force
+    from robosat_spark.functions.vectors import cosine_sim
+
+    cand = base.select("item_id", "vec").crossJoin(
+        F.broadcast(q.select("query_id", "qvec"))
+    ).filter(F.col("item_id") != F.col("query_id"))
+    wbf = Window.partitionBy("query_id").orderBy(
+        cosine_sim(F.col("vec"), F.col("qvec")).desc(), F.col("item_id").asc()
+    )
+    bf_top = (
+        cand.withColumn("rn", F.row_number().over(wbf))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "item_id")
+    )
+    matched = ivf_top.join(bf_top, ["query_id", "item_id"]).select("query_id", "item_id")
+    ov = (
+        q.select("query_id")
+        .join(matched, "query_id", "left")
+        .groupBy("query_id")
+        .agg(F.count("item_id").alias("n_ov"))
+    )
+    rec = ov.agg(
+        F.round(F.avg(F.col("n_ov").cast("double") / F.lit(5.0)), 6).alias("recall")
+    )
+    return acc.crossJoin(rec)
 
 
 _WAY_CLASSES = [
@@ -1086,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "ann_ivf": _q_ann_ivf,
+        "knn_label_accuracy_ivf": _q_knn_label_accuracy_ivf,
         "quality_score": _q_quality_score,
         "road_widths": _q_road_widths,
         "repetition_stats": _q_repetition_stats,
@@ -1254,15 +1333,24 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY user_id
     """
 
-    sql["embedding_neardup"] = """
+    # cosine twins are the FOLD-EXACT expression (same arithmetic order as
+    # Spark's F.aggregate, bit-identical doubles — verified in
+    # tests/test_dedup_ann.py), not list_cosine_similarity: a ranking
+    # window or threshold on top of a cosine must not depend on ulp-level
+    # summation-order differences between engines.
+    from robosat_spark.functions.vectors import (
+        NEARDUP_LSH_SEEDS,
+        cosine_sim_sql,
+        lsh_bucket_sql,
+    )
+
+    sql["embedding_neardup"] = f"""
         WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT id_a, id_b, ROUND(sim, 6) AS sim
-        FROM (SELECT a.id AS id_a, b.id AS id_b, list_cosine_similarity(a.v, b.v) AS sim
+        FROM (SELECT a.id AS id_a, b.id AS id_b, {cosine_sim_sql("a.v", "b.v")} AS sim
               FROM v a JOIN v b ON a.id < b.id)
         WHERE sim >= 0.4
     """
-
-    from robosat_spark.functions.vectors import NEARDUP_LSH_SEEDS, lsh_bucket_sql
 
     bucket_cols = ", ".join(
         f"{lsh_bucket_sql('v', seeds)} AS b{t}" for t, seeds in enumerate(NEARDUP_LSH_SEEDS)
@@ -1272,7 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         b AS (SELECT id, v, {bucket_cols} FROM v)
         SELECT id_a, id_b, ROUND(sim, 6) AS sim
-        FROM (SELECT a.id AS id_a, c.id AS id_b, list_cosine_similarity(a.v, c.v) AS sim
+        FROM (SELECT a.id AS id_a, c.id AS id_b, {cosine_sim_sql("a.v", "c.v")} AS sim
               FROM b a JOIN b c ON a.id < c.id AND ({bucket_or}))
         WHERE sim >= 0.4
     """
@@ -1440,7 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY true_lang, pred_lang
     """
 
-    sql["knn_label_accuracy"] = """
+    sql["knn_label_accuracy"] = f"""
         WITH base AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS vec,
                              label AS item_label FROM embeddings),
         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec,
@@ -1449,7 +1537,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT query_id, true_label, item_label FROM (
             SELECT q.query_id, q.true_label, b.item_label,
                    ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                      ORDER BY list_cosine_similarity(b.vec, q.qvec) DESC,
+                                      ORDER BY {cosine_sim_sql("b.vec", "q.qvec")} DESC,
                                                b.item_id ASC) AS rn
             FROM base b CROSS JOIN q WHERE b.item_id != q.query_id)
           WHERE rn <= 5),
@@ -1685,26 +1773,58 @@ def oracle_sql() -> dict[str, str]:
         FROM cps
     """
 
-    sql["ann_ivf"] = """
-        WITH base AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        cents AS (SELECT item_id AS centroid_id, v AS cvec FROM base WHERE item_id < 16),
-        assigned AS (
-          SELECT item_id, v, centroid_id FROM (
-            SELECT b.item_id, b.v, c.centroid_id,
-                   ROW_NUMBER() OVER (PARTITION BY b.item_id
-                                      ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
-                                               c.centroid_id ASC) AS rn
-            FROM base b CROSS JOIN cents c) WHERE rn = 1),
+    # IVF family: the CTE chain replays operators.ann.kmeans_centroids +
+    # the final assignment with the IDENTICAL fold order (cosine folds and
+    # member-mean folds verified bit-exact vs the Spark plans), so the
+    # quantizer, probes, and candidate sims need no rounding slack.
+    def _ivf_ctes(n_centroids: int = 16, iters: int = 2, dim: int = 64) -> str:
+        cos_bc = cosine_sim_sql("b.v", "c.cvec")
+        ctes = [
+            "base AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+            f"cents_0 AS (SELECT item_id AS centroid_id, v AS cvec FROM base WHERE item_id < {n_centroids})",
+        ]
+        for t in range(1, iters + 1):
+            ctes.append(
+                f"asg_{t} AS (SELECT item_id, v, centroid_id FROM ("
+                f"SELECT b.item_id, b.v, c.centroid_id, "
+                f"ROW_NUMBER() OVER (PARTITION BY b.item_id ORDER BY {cos_bc} DESC, "
+                f"c.centroid_id ASC) AS rn FROM base b CROSS JOIN cents_{t - 1} c) WHERE rn = 1)"
+            )
+            ctes.append(
+                f"upd_{t} AS (SELECT centroid_id, list(v ORDER BY item_id) AS vs, "
+                f"COUNT(*) AS c FROM asg_{t} GROUP BY centroid_id)"
+            )
+            ctes.append(
+                f"cents_{t} AS (SELECT p.centroid_id, COALESCE("
+                f"list_transform(list_reduce(u.vs, (a, x) -> "
+                f"list_transform(generate_series(1, {dim}), i -> a[i] + x[i])), "
+                f"x -> x / u.c), p.cvec) AS cvec "
+                f"FROM cents_{t - 1} p LEFT JOIN upd_{t} u USING (centroid_id))"
+            )
+        ctes.append(f"cents AS (SELECT centroid_id, cvec FROM cents_{iters})")
+        ctes.append(
+            f"assigned AS (SELECT item_id, v, centroid_id FROM ("
+            f"SELECT b.item_id, b.v, c.centroid_id, "
+            f"ROW_NUMBER() OVER (PARTITION BY b.item_id ORDER BY {cos_bc} DESC, "
+            f"c.centroid_id ASC) AS rn FROM base b CROSS JOIN cents c) WHERE rn = 1)"
+        )
+        return ",\n        ".join(ctes)
+
+    _cos_qc = cosine_sim_sql("q.qvec", "c.cvec")
+    _cos_aq = cosine_sim_sql("a.v", "p.qvec")
+    _cos_bq = cosine_sim_sql("b.v", "q.qvec")
+    sql["ann_ivf"] = f"""
+        WITH {_ivf_ctes()},
         q AS (SELECT item_id AS query_id, v AS qvec FROM base WHERE item_id < 3),
         probes AS (
           SELECT query_id, qvec, centroid_id FROM (
             SELECT q.query_id, q.qvec, c.centroid_id,
                    ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                      ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC,
+                                      ORDER BY {_cos_qc} DESC,
                                                c.centroid_id ASC) AS rn
             FROM q CROSS JOIN cents c) WHERE rn <= 4),
         cand AS (
-          SELECT p.query_id, a.item_id, list_cosine_similarity(a.v, p.qvec) AS sim
+          SELECT p.query_id, a.item_id, {_cos_aq} AS sim
           FROM probes p JOIN assigned a USING (centroid_id)
           WHERE a.item_id != p.query_id)
         SELECT query_id, item_id, rank, ROUND(sim, 6) AS sim
@@ -1713,6 +1833,61 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY sim DESC, item_id ASC) AS rank
               FROM cand)
         WHERE rank <= 5
+    """
+
+    sql["knn_label_accuracy_ivf"] = f"""
+        WITH {_ivf_ctes()},
+        lbl AS (SELECT vec_id AS item_id, label AS item_label FROM embeddings),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec,
+                     label AS true_label FROM embeddings WHERE vec_id % 20 = 0),
+        probes AS (
+          SELECT query_id, qvec, centroid_id FROM (
+            SELECT q.query_id, q.qvec, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_cos_qc} DESC,
+                                               c.centroid_id ASC) AS rn
+            FROM q CROSS JOIN cents c) WHERE rn <= 4),
+        cand AS (
+          SELECT p.query_id, a.item_id, {_cos_aq} AS sim
+          FROM probes p JOIN assigned a USING (centroid_id)
+          WHERE a.item_id != p.query_id),
+        ivf_top AS (
+          SELECT query_id, item_id FROM (
+            SELECT query_id, item_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, item_id ASC) AS rn
+            FROM cand) WHERE rn <= 5),
+        bf_top AS (
+          SELECT query_id, item_id FROM (
+            SELECT q.query_id, b.item_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_cos_bq} DESC, b.item_id ASC) AS rn
+            FROM base b CROSS JOIN q WHERE b.item_id != q.query_id) WHERE rn <= 5),
+        votes AS (
+          SELECT t.query_id, q.true_label, l.item_label, COUNT(*) AS v
+          FROM ivf_top t JOIN lbl l USING (item_id) JOIN q USING (query_id)
+          GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT query_id, true_label, item_label FROM (
+            SELECT query_id, true_label, item_label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY v DESC, item_label ASC) AS rv
+            FROM votes) WHERE rv = 1),
+        matched AS (
+          SELECT i.query_id, i.item_id FROM ivf_top i
+          JOIN bf_top f ON i.query_id = f.query_id AND i.item_id = f.item_id),
+        overlap AS (
+          SELECT q.query_id, COUNT(m.item_id) AS n_ov
+          FROM q LEFT JOIN matched m ON q.query_id = m.query_id GROUP BY 1),
+        acc AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                 CAST(SUM(CASE WHEN item_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_correct,
+                 ROUND(AVG(CASE WHEN item_label = true_label THEN 1.0 ELSE 0.0 END), 6)
+                   AS accuracy
+          FROM pred),
+        rec AS (SELECT ROUND(AVG(CAST(n_ov AS DOUBLE) / 5.0), 6) AS recall FROM overlap)
+        SELECT n_queries, n_correct, accuracy, recall FROM acc CROSS JOIN rec
     """
 
     stops = " + ".join(
@@ -1738,14 +1913,15 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    sql["ann_cosine"] = """
+    _css = cosine_sim_sql
+    sql["ann_cosine"] = f"""
         WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT query_id, item_id, rank, ROUND(sim, 6) AS sim
         FROM (
           SELECT q.vec_id AS query_id, e.vec_id AS item_id,
-                 list_cosine_similarity(e.v, q.v) AS sim,
+                 {_css("e.v", "q.v")} AS sim,
                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                    ORDER BY list_cosine_similarity(e.v, q.v) DESC, e.vec_id ASC) AS rank
+                                    ORDER BY {_css("e.v", "q.v")} DESC, e.vec_id ASC) AS rank
           FROM base e CROSS JOIN (SELECT * FROM base WHERE vec_id < 3) q
           WHERE e.vec_id != q.vec_id
         )

@@ -28,6 +28,34 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def fold_sum_sql(items: str) -> str:
+    """DuckDB left-fold sum over a DOUBLE list expression — the exact
+    arithmetic ORDER of Spark's ``F.aggregate(…, F.lit(0.0), acc + v)``,
+    so the result is BIT-IDENTICAL to the JVM fold (verified to the last
+    ulp in tests/test_dedup_ann.py). ``list_sum`` / ``list_cosine_similarity``
+    may sum in a different order; same-to-6-decimals is not enough when a
+    ranking window sits on top."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {items}), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def cosine_sim_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`cosine_sim` with the identical fold order:
+    dot/(norm(a)*norm(b)), 0.0 when the denominator is 0. ``a``/``b`` are
+    DOUBLE[] column expressions of equal length."""
+    dot = fold_sum_sql(
+        f"list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])"
+    )
+    na = f"sqrt({fold_sum_sql(f'list_transform({a}, x -> x * x)')})"
+    nb = f"sqrt({fold_sum_sql(f'list_transform({b}, x -> x * x)')})"
+    return (
+        f"(CASE WHEN {na} * {nb} > 0 THEN ({dot}) / ({na} * {nb}) "
+        f"ELSE 0.0 END)"
+    )
+
+
 def l2_dist(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -2,6 +2,7 @@
 
 import pyspark.sql.functions as F
 import pytest
+from pyspark.sql import Window
 
 from robosat_spark.operators.ann import ann_ivf, ivf_assign
 from robosat_spark.operators.dedup import minhash_lsh_pairs, simhash, word_shingles
@@ -233,3 +234,84 @@ def test_simhash_banded_60bit_and_bits_guard(spark):
 
     with pytest.raises(ValueError, match="1..60"):
         simhash(F.col("text"), bits=64)
+
+
+def test_cosine_fold_sql_bit_exact(spark):
+    """The DuckDB cosine twin (functions.vectors.cosine_sim_sql) must be
+    BIT-IDENTICAL to Spark's F.aggregate fold — rankings sit on top of it
+    in the ann/kmeans oracles, so 6-decimal agreement is not enough."""
+    import duckdb
+
+    from robosat_spark.functions.vectors import cosine_sim, cosine_sim_sql
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 30
+    )
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    a = v.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    got = {
+        (r["ia"], r["ib"]): r["c"]
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", cosine_sim(F.col("va"), F.col("vb")).alias("c"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    want = {
+        (ia, ib): c
+        for ia, ib, c in con.sql(
+            f"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings WHERE vec_id < 30)
+                SELECT a.id, b.id, {cosine_sim_sql("a.v", "b.v")}
+                FROM v a JOIN v b ON a.id < b.id"""
+        ).fetchall()
+    }
+    assert got.keys() == want.keys() and len(got) > 100
+    assert all(got[k] == want[k] for k in got)  # exact, not approx
+
+
+def test_kmeans_ivf_recall_beats_first_n(spark):
+    """The Lloyd's coarse quantizer must not lose recall vs the first-N
+    quantizer at equal nprobe on the embeddings fixture (measured:
+    0.504 -> 0.688 @ sf0.01 with 2 iterations)."""
+    from robosat_spark.functions.vectors import cosine_sim
+    from robosat_spark.operators.ann import ann_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    cand = base.crossJoin(F.broadcast(q)).filter(F.col("item_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        cosine_sim(F.col("vec"), F.col("qvec")).desc(), F.col("item_id").asc()
+    )
+    bf = set(
+        map(
+            tuple,
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "item_id")
+            .collect(),
+        )
+    )
+
+    def recall(iters):
+        got = set(
+            map(
+                tuple,
+                ann_ivf(base, q, n_centroids=16, nprobe=4, k=5, kmeans_iters=iters)
+                .select("query_id", "item_id")
+                .collect(),
+            )
+        )
+        return len(got & bf) / len(bf)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, (r0, r2)
+    assert r2 >= 0.6, r2
