@@ -218,32 +218,57 @@ def _q_hex_encode(spark, sf_dir):
     )
 
 
-def _q_morton_bbox(spark, sf_dir):
-    """Z-order pruned bbox count: the scan filters on Morton BETWEEN
-    intervals (pushed to parquet row-group stats on a Z-ordered layout)
-    with an exact lon/lat refine — the storage-level spatial pruning
-    pattern; oracle is the direct bbox count."""
-    from robosat_spark.functions.tiles import (
-        morton_cell,
-        morton_range_filter,
-        morton_ranges,
-        tile_x,
-        tile_y,
-    )
-    from robosat_spark.kernels.mercator import lonlat_to_tile
+def _zordered_pages_path(spark, sf_dir: str, zoom: int) -> str:
+    """Materialize (once per sf_dir content) the pages table as a REAL
+    Z-ordered parquet layout: a stored ``morton`` column, range-partitioned
+    and sorted by it, so row-group min/max stats are spatially tight and
+    the BETWEEN predicates of :func:`_q_morton_bbox` prune at the scan.
+    Keyed by the events file's (size, mtime) so a regenerated fixture
+    invalidates the cache."""
+    import hashlib
+    import os
+    import tempfile
+
+    from robosat_spark.functions.tiles import morton_cell, tile_x, tile_y
     from robosat_spark.operators.spatial_join import geotagged_points
     from robosat_spark.sources.pages import pages_from_events
 
+    st_parts = []
+    ev_dir = os.path.join(sf_dir, "events.parquet")
+    for p in ([ev_dir] if os.path.isfile(ev_dir) else sorted(
+        os.path.join(ev_dir, f) for f in os.listdir(ev_dir) if f.endswith(".parquet")
+    )):
+        st = os.stat(p)
+        st_parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
+    key = hashlib.md5(("|".join(st_parts) + f"|z{zoom}").encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"robosat_zorder_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pts = geotagged_points(pages_from_events(spark, sf_dir), zoom=zoom).withColumn(
+            "morton",
+            morton_cell(tile_x(F.col("lon"), zoom), tile_y(F.col("lat"), zoom), zoom),
+        )
+        (
+            pts.repartitionByRange(8, "morton")
+            .sortWithinPartitions("morton")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def _q_morton_bbox(spark, sf_dir):
+    """Z-order pruned bbox count over a REAL Z-ordered parquet layout:
+    ``morton`` is a stored, sorted table column (written once per fixture
+    via ``_zordered_pages_path``), the bbox becomes Morton BETWEEN
+    intervals pushed to parquet row-group stats (PushedFilters asserted in
+    tests/test_knn_cells.py), and an exact lon/lat refine keeps semantics
+    exact; oracle is the direct bbox count."""
+    from robosat_spark.functions.tiles import morton_range_filter, morton_ranges
+    from robosat_spark.kernels.mercator import lonlat_to_tile
+
     zoom = 10
     lon0, lon1, lat0, lat1 = -120.0, -60.0, 10.0, 50.0
-    pts = geotagged_points(pages_from_events(spark, sf_dir), zoom=zoom).withColumn(
-        "morton", morton_cell(tile_x(F.col("lon"), zoom), tile_y(F.col("lat"), zoom), zoom)
-    )
-    # in the real layout the morton key is a STORED table column (that is
-    # what Z-ordering the table means); the barrier stands in for that —
-    # without it Catalyst inlines the interleave expression into all 64
-    # BETWEENs and codegen explodes
-    pts = pts.localCheckpoint(eager=False)
+    pts = spark.read.parquet(_zordered_pages_path(spark, sf_dir, zoom))
     tx0, ty0 = lonlat_to_tile(lon0, lat1, zoom)
     tx1, ty1 = lonlat_to_tile(lon1, lat0, zoom)
     ranges = morton_ranges(int(tx0), int(ty0), int(tx1), int(ty1), zoom, max_ranges=64)
