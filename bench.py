@@ -150,8 +150,10 @@ def main():
         "top_tokens",
         "value_quantiles",
         "knn_label_accuracy",
+        "knn_label_accuracy_ivf",
         "ann_cosine",
         "ann_ivf",
+        "morton_bbox",
         "cover",
         "pricing_summary",
         "market_join",
@@ -161,26 +163,40 @@ def main():
     spark.range(1000).selectExpr("sum(id)").collect()
     qs["tile_encode"](spark, sf_dir).limit(1).count()
 
-    timings = {}
-    for name in bench_queries:
-        if name not in qs:
-            continue
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # median-of-N per query (round-2 review item 1): single-trial walls
+    # showed unconfirmed 15-45% swings round-over-round. Trials run in
+    # ROUND-ROBIN order (all queries trial 1, then all trial 2, ...) so a
+    # JIT/GC drift epoch hits every query equally instead of one query's
+    # three back-to-back trials.
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+
+    def run_suite(session, query_fns):
+        trials = {name: [] for name in bench_queries if name in query_fns}
+        for _ in range(n_trials):
+            for name in trials:
+                t0 = time.perf_counter()
+                query_fns[name](session, sf_dir).count()
+                trials[name].append(round(time.perf_counter() - t0, 3))
+        medians = {n: sorted(ts)[len(ts) // 2] for n, ts in trials.items()}
+        return medians, trials
+
+    timings, trials = run_suite(spark, qs)
 
     # flagship e2e on the sf tables (correctness-scale; warmup-dominated)
     from robosat_spark.operators.spatial_join import assign_broadcast
     from robosat_spark.sources.oracle_features import oracle_rect_features
     from robosat_spark.sources.pages import pages_from_events
 
-    t0 = time.perf_counter()
-    pg = pages_from_events(spark, sf_dir)
-    ft = oracle_rect_features(spark)
-    assigned = assign_broadcast(spark, pg, ft, zoom=7)
-    assigned.count()
-    timings["flagship_e2e"] = round(time.perf_counter() - t0, 3)
+    e2e_trials = []
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        pg = pages_from_events(spark, sf_dir)
+        ft = oracle_rect_features(spark)
+        assigned = assign_broadcast(spark, pg, ft, zoom=7)
+        assigned.count()
+        e2e_trials.append(round(time.perf_counter() - t0, 3))
+    timings["flagship_e2e"] = sorted(e2e_trials)[len(e2e_trials) // 2]
+    trials["flagship_e2e"] = e2e_trials
 
     # headline throughput: the fused flagship count at a size where
     # parallelism dominates JVM fixed costs (input generated once, reused).
@@ -189,16 +205,23 @@ def main():
     headline_n = int(os.environ.get("SPARK_GRAFT_HEADLINE_N", "5000000"))
     path = scaling_input(spark, headline_n)
     spark.read.parquet(path).count()  # warm listing/page cache, untimed
-    t0 = time.perf_counter()
-    joined_rows = scaling_job(spark, path)
-    flagship_sec = time.perf_counter() - t0
-    timings["flagship_count_5m"] = round(flagship_sec, 3)
+    flag_trials = []
+    joined_rows = 0
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        joined_rows = scaling_job(spark, path)
+        flag_trials.append(round(time.perf_counter() - t0, 3))
+    flagship_sec = sorted(flag_trials)[len(flag_trials) // 2]
+    timings["flagship_count_5m"] = flagship_sec
+    trials["flagship_count_5m"] = flag_trials
 
     payload = {
         "metric": "pages_joined_per_sec",
         "value": round(joined_rows / flagship_sec, 1),
         "unit": "rows/sec",
         "queries": timings,
+        "queries_trials": trials,
+        "trials": n_trials,
         "sf": None,
         "cpus": cpus,
         "joined_rows": joined_rows,
@@ -220,14 +243,9 @@ def main():
             spark8.range(1000).selectExpr("sum(id)").collect()
             qs8 = entry.queries()
             qs8["tile_encode"](spark8, sf_dir).limit(1).count()
-            timings8 = {}
-            for name in bench_queries:
-                if name not in qs8:
-                    continue
-                t0 = time.perf_counter()
-                qs8[name](spark8, sf_dir).count()
-                timings8[name] = round(time.perf_counter() - t0, 3)
+            timings8, trials8 = run_suite(spark8, qs8)
             payload["queries_8cpu"] = timings8
+            payload["queries_8cpu_trials"] = trials8
             spark8.stop()
         except Exception as e:  # pragma: no cover - defensive
             payload["queries_8cpu_error"] = str(e)[:200]
