@@ -279,6 +279,73 @@ def _q_morton_bbox(spark, sf_dir):
     ).agg(F.count("*").alias("n_pages"), F.countDistinct("url").alias("n_urls"))
 
 
+def _iceberg_documents_path(spark, sf_dir: str) -> str:
+    """Build-once (content-keyed) REAL Iceberg v2 table over ``documents``
+    in the temp dir: snapshot 1 = doc_id <= (min+max)//2, snapshot 2
+    appends the rest; identity-partitioned by lang with doc_id/n_chars
+    file stats — so the gated queries exercise snapshot isolation, time
+    travel, partition pruning, and bounds pruning on real Avro manifests
+    (sources/iceberg.py, from the public Iceberg spec)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from robosat_spark.sources.iceberg import current_version, write_iceberg
+
+    doc_dir = os.path.join(sf_dir, "documents.parquet")
+    st_parts = []
+    for p in ([doc_dir] if os.path.isfile(doc_dir) else sorted(
+        os.path.join(doc_dir, f) for f in os.listdir(doc_dir) if f.endswith(".parquet")
+    )):
+        st = os.stat(p)
+        st_parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
+    key = hashlib.md5("|".join(st_parts).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"robosat_iceberg_{key}")
+    if current_version(path) < 2:
+        docs = spark.read.parquet(doc_dir)
+        mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        thr = (int(mn) + int(mx)) // 2
+        write_iceberg(
+            spark, docs.filter(F.col("doc_id") <= thr), path,
+            partition_by="lang", stats_cols=("doc_id", "n_chars"), timestamp_ms=1000,
+        )
+        write_iceberg(
+            spark, docs.filter(F.col("doc_id") > thr), path,
+            partition_by="lang", stats_cols=("doc_id", "n_chars"), timestamp_ms=2000,
+        )
+    return path
+
+
+def _q_iceberg_scan(spark, sf_dir):
+    """Current-snapshot scan of the from-scratch Iceberg table with an
+    identity-partition filter (lang = 'en'): manifest planning + partition
+    pruning happen in the connector (8/10 files pruned at sf0.01), the
+    predicate is re-applied Spark-side, and the result must equal a plain
+    scan of the source parquet — proving snapshot 1 ∪ snapshot 2 is
+    exactly the table and pruning loses nothing."""
+    from robosat_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(_iceberg_documents_path(spark, sf_dir))
+    df = t.scan(spark, filters=[("lang", "=", "en")])
+    return (
+        df.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def _q_iceberg_time_travel(spark, sf_dir):
+    """Snapshot-1 time travel on the Iceberg table: the reader must see
+    exactly the pre-append rows (doc_id <= (min+max)//2) — snapshot
+    isolation via the manifest list, not file listing."""
+    from robosat_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(_iceberg_documents_path(spark, sf_dir))
+    df = t.scan(spark, snapshot_id=1)
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id")
+    )
+
+
 def _q_tile_adjacency(spark, sf_dir):
     """J6 tile-adjacency self-join: count occupied neighbor pairs among
     the distinct z12 tiles of the geotagged points."""
@@ -1318,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover": _q_cover,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
+        "iceberg_scan": _q_iceberg_scan,
+        "iceberg_time_travel": _q_iceberg_time_travel,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "ann_ivf": _q_ann_ivf,
@@ -1911,6 +1980,21 @@ def oracle_sql() -> dict[str, str]:
                ROUND(({_bg} + {_fg}) / 2.0, 6) AS miou,
                ROUND({_fg}, 6) AS fg_iou,
                ROUND({_mcc}, 6) AS mcc
+    """
+
+    # iceberg_scan / iceberg_time_travel: the Iceberg table is built FROM
+    # documents (snap 1 = ids <= (min+max)//2, snap 2 = the rest), so the
+    # oracle is the plain parquet truth — current scan must equal the
+    # union, snapshot 1 must equal the pre-append half
+    sql["iceberg_scan"] = """
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents WHERE lang = 'en' GROUP BY source
+    """
+    sql["iceberg_time_travel"] = """
+        SELECT lang, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc_id
+        FROM documents
+        WHERE doc_id <= (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 FROM documents)
+        GROUP BY lang
     """
 
     # mask_vectorize / halo_stitch: per-tile polygon counts and halo

@@ -1,0 +1,614 @@
+"""From-scratch Apache Iceberg v2 table connector (read + write).
+
+The north rule's production input is "an Iceberg table of Common-Crawl
+style web pages"; the Iceberg runtime jar is absent in this sandbox, so
+the table format itself is implemented from the public Iceberg Table Spec
+(format version 2) on top of the from-scratch Avro codec
+(``sources/avro_codec``). No JSON stand-ins: manifests and manifest lists
+are real Avro object-container files with spec field names and field-ids.
+
+Write path (``write_iceberg``): append a snapshot over parquet data files
+written by Spark —
+  data files keep FULL rows (spec: partition columns are stored in the
+  file), written one directory per identity-partition value;
+  per-file column stats (record count, null counts, lower/upper bounds)
+  come from the parquet footers via pyarrow and are serialized with the
+  spec's single-value binary encoding (Appendix D);
+  each snapshot gets one manifest (avro), a manifest list (avro) that
+  carries prior snapshots' manifests forward (append semantics), a new
+  ``vN.metadata.json``, and a ``version-hint.text`` bump.
+
+Read path (``IcebergTable``): snapshot resolution (current / by id /
+as-of timestamp), manifest pruning via partition field summaries,
+data-file pruning via identity-partition values and column bounds, then
+``spark.read.parquet`` on the surviving files with the predicate applied
+Spark-side too — pruning is an optimization, never a semantics change.
+
+Scale shape: metadata/manifest-list reads are driver-side (they are KB-MB
+even at petabyte scale); MANIFEST reads fan out — at 10^12 rows a
+snapshot holds thousands of manifests, so ``scan_manifests_distributed``
+parses them on executors via ``mapInPandas`` over the manifest path list
+(the avro codec is pure Python and ships with --py-files). The driver
+only ever materializes the surviving file list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from dataclasses import dataclass, field
+from typing import Any
+
+from .avro_codec import read_container_file, write_container_file
+
+FORMAT_VERSION = 2
+PARTITION_FIELD_ID_START = 1000
+
+# ---------------------------------------------------------------------------
+# Iceberg <-> Spark type mapping and single-value (bounds) serialization
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICEBERG = {
+    "long": "long", "bigint": "long", "int": "int", "integer": "int",
+    "string": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "timestamp": "timestamptz", "binary": "binary",
+}
+_ICEBERG_TO_SPARK = {
+    "long": "long", "int": "int", "string": "string", "double": "double",
+    "float": "float", "boolean": "boolean", "timestamptz": "timestamp",
+    "binary": "binary",
+}
+_ICEBERG_TO_AVRO = {
+    "long": "long", "int": "int", "string": "string", "double": "double",
+    "float": "float", "boolean": "boolean", "timestamptz": "long",
+    "binary": "bytes",
+}
+
+
+def encode_bound(value: Any, ice_type: str) -> bytes:
+    """Iceberg single-value binary serialization (spec Appendix D)."""
+    if ice_type == "int":
+        return struct.pack("<i", int(value))
+    if ice_type in ("long", "timestamptz"):
+        return struct.pack("<q", int(value))
+    if ice_type == "float":
+        return struct.pack("<f", float(value))
+    if ice_type == "double":
+        return struct.pack("<d", float(value))
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if ice_type == "binary":
+        return bytes(value)
+    raise ValueError(f"no bound serialization for {ice_type}")
+
+
+def decode_bound(buf: bytes, ice_type: str) -> Any:
+    if ice_type == "int":
+        return struct.unpack("<i", buf)[0]
+    if ice_type in ("long", "timestamptz"):
+        return struct.unpack("<q", buf)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", buf)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", buf)[0]
+    if ice_type == "string":
+        return buf.decode("utf-8")
+    if ice_type == "boolean":
+        return buf != b"\x00"
+    if ice_type == "binary":
+        return buf
+    raise ValueError(f"no bound deserialization for {ice_type}")
+
+
+# ---------------------------------------------------------------------------
+# Avro schemas for manifests / manifest lists (spec field names + field-ids)
+# ---------------------------------------------------------------------------
+
+
+def _kv_map_schema(name: str, key_id: int, value_id: int, value_type: str) -> dict:
+    """Iceberg serializes int-keyed maps as array<record{key,value}> with
+    logicalType map (Avro maps require string keys)."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": value_type, "field-id": value_id},
+            ],
+        },
+    }
+
+
+def _partition_avro_schema(spec_fields: list[dict], ice_schema: list[dict]) -> dict:
+    """Avro record for the data_file.partition struct (identity transforms)."""
+    by_id = {f["id"]: f for f in ice_schema}
+    fields = []
+    for pf in spec_fields:
+        src = by_id[pf["source-id"]]
+        fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", _ICEBERG_TO_AVRO[src["type"]]],
+                "field-id": pf["field-id"],
+                "default": None,
+            }
+        )
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def manifest_entry_schema(spec_fields: list[dict], ice_schema: list[dict]) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": _partition_avro_schema(spec_fields, ice_schema), "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "null_value_counts", "type": ["null", _kv_map_schema("k110_v111", 121, 122, "long")], "field-id": 110, "default": None},
+            {"name": "lower_bounds", "type": ["null", _kv_map_schema("k126_v127", 126, 127, "bytes")], "field-id": 125, "default": None},
+            {"name": "upper_bounds", "type": ["null", _kv_map_schema("k129_v130", 129, 130, "bytes")], "field-id": 128, "default": None},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1, "default": None},
+            {"name": "sequence_number", "type": ["null", "long"], "field-id": 3, "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4, "default": None},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": {
+                "type": "record",
+                "name": "r508",
+                "fields": [
+                    {"name": "contains_null", "type": "boolean", "field-id": 509},
+                    {"name": "contains_nan", "type": ["null", "boolean"], "field-id": 518, "default": None},
+                    {"name": "lower_bound", "type": ["null", "bytes"], "field-id": 510, "default": None},
+                    {"name": "upper_bound", "type": ["null", "bytes"], "field-id": 511, "default": None},
+                ],
+            }}],
+            "field-id": 507,
+            "default": None,
+        },
+    ],
+}
+
+STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
+
+
+# ---------------------------------------------------------------------------
+# metadata json
+# ---------------------------------------------------------------------------
+
+
+def _metadata_dir(table_path: str) -> str:
+    return os.path.join(table_path, "metadata")
+
+
+def current_version(table_path: str) -> int:
+    hint = os.path.join(_metadata_dir(table_path), "version-hint.text")
+    if not os.path.exists(hint):
+        return 0
+    with open(hint) as f:
+        return int(f.read().strip())
+
+
+def load_metadata(table_path: str, version: int | None = None) -> dict:
+    v = version if version is not None else current_version(table_path)
+    if v == 0:
+        raise FileNotFoundError(f"no Iceberg table at {table_path}")
+    with open(os.path.join(_metadata_dir(table_path), f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+def spark_schema_ddl(ice_schema: list[dict]) -> str:
+    return ", ".join(f"{f['name']} {_ICEBERG_TO_SPARK[f['type']]}" for f in ice_schema)
+
+
+# ---------------------------------------------------------------------------
+# write path
+# ---------------------------------------------------------------------------
+
+
+def _iceberg_schema_from_spark(df) -> list[dict]:
+    out = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        tn = f.dataType.simpleString()
+        if tn not in _SPARK_TO_ICEBERG:
+            raise ValueError(f"unsupported column type for iceberg write: {tn}")
+        out.append({"id": i, "name": f.name, "required": False, "type": _SPARK_TO_ICEBERG[tn]})
+    return out
+
+
+def _file_stats(path: str, ice_schema: list[dict], stats_cols: tuple[str, ...]):
+    """(record_count, size_bytes, null_counts, lower, upper) from the
+    parquet footer — maps keyed by Iceberg field id, bounds spec-encoded."""
+    import pyarrow.parquet as pq
+
+    by_name = {f["name"]: f for f in ice_schema}
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    nulls: dict[int, int] = {}
+    lo: dict[int, Any] = {}
+    hi: dict[int, Any] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in by_name or name not in stats_cols:
+                continue
+            fid = by_name[name]["id"]
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[fid] = nulls.get(fid, 0) + st.null_count
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                lo[fid] = mn if fid not in lo or mn < lo[fid] else lo[fid]
+                hi[fid] = mx if fid not in hi or mx > hi[fid] else hi[fid]
+    types = {f["id"]: f["type"] for f in ice_schema}
+    enc = lambda d: [{"key": k, "value": encode_bound(v, types[k])} for k, v in sorted(d.items())]
+    return (
+        md.num_rows,
+        os.path.getsize(path),
+        [{"key": k, "value": v} for k, v in sorted(nulls.items())],
+        enc(lo),
+        enc(hi),
+    )
+
+
+def write_iceberg(
+    spark,
+    df,
+    table_path: str,
+    partition_by: str | None = None,
+    stats_cols: tuple[str, ...] = (),
+    timestamp_ms: int | None = None,
+) -> int:
+    """Append ``df`` as a new snapshot (creating the table if absent).
+    Returns the new snapshot id. Deterministic: snapshot id = version."""
+    os.makedirs(_metadata_dir(table_path), exist_ok=True)
+    v = current_version(table_path)
+    meta = load_metadata(table_path) if v else None
+    ice_schema = meta["schemas"][0]["fields"] if meta else _iceberg_schema_from_spark(df)
+    by_name = {f["name"]: f for f in ice_schema}
+    stats_cols = tuple(stats_cols) + ((partition_by,) if partition_by else ())
+
+    spec_fields = []
+    if partition_by:
+        spec_fields = [{
+            "name": partition_by, "transform": "identity",
+            "source-id": by_name[partition_by]["id"],
+            "field-id": PARTITION_FIELD_ID_START,
+        }]
+
+    snap_id = v + 1
+    seq = v + 1
+    # --- data files: full rows, one directory per identity-partition value.
+    # __part duplicates the partition column so partitionBy consumes the
+    # copy and the real column stays IN the file (spec requirement).
+    from pyspark.sql import functions as F
+
+    data_dir = os.path.join(table_path, "data", f"snap-{snap_id}")
+    w = df
+    if partition_by:
+        w = df.withColumn("__part", F.col(partition_by)).repartition(F.col("__part"))
+        w.write.partitionBy("__part").mode("overwrite").parquet(data_dir)
+    else:
+        w.write.mode("overwrite").parquet(data_dir)
+
+    entries = []
+    for root, _dirs, files in sorted(os.walk(data_dir)):
+        part_val = None
+        base = os.path.basename(root)
+        if base.startswith("__part="):
+            part_val = base[len("__part="):]
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(root, fn)
+            n, size, nulls, lo, hi = _file_stats(p, ice_schema, stats_cols)
+            partition = {partition_by: part_val} if partition_by else {}
+            entries.append({
+                "status": STATUS_ADDED,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": partition,
+                    "record_count": n,
+                    "file_size_in_bytes": size,
+                    "null_value_counts": nulls,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
+                },
+            })
+
+    # --- manifest avro
+    man_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-m0.avro")
+    write_container_file(man_path, manifest_entry_schema(spec_fields, ice_schema), entries)
+
+    # partition field summaries for manifest-list pruning
+    part_summary = None
+    if partition_by:
+        vals = [e["data_file"]["partition"][partition_by] for e in entries]
+        non_null = [x for x in vals if x is not None]
+        pt = by_name[partition_by]["type"]
+        part_summary = [{
+            "contains_null": any(x is None for x in vals),
+            "contains_nan": False,
+            "lower_bound": encode_bound(min(non_null), pt) if non_null else None,
+            "upper_bound": encode_bound(max(non_null), pt) if non_null else None,
+        }]
+
+    new_manifest = {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": part_summary,
+    }
+
+    # --- manifest list: prior snapshot's manifests + the new one (append)
+    prior = []
+    if meta and meta.get("current-snapshot-id", -1) != -1:
+        cur = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+        _s, prior = read_container_file(cur["manifest-list"])
+    ml_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-manifest-list.avro")
+    write_container_file(ml_path, MANIFEST_LIST_SCHEMA, prior + [new_manifest])
+
+    ts = timestamp_ms if timestamp_ms is not None else snap_id * 1000
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": ml_path,
+        "schema-id": 0,
+        "summary": {"operation": "append", "added-data-files": str(len(entries))},
+    }
+    new_meta = {
+        "format-version": FORMAT_VERSION,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": table_path,
+        "last-sequence-number": seq,
+        "last-updated-ms": ts,
+        "last-column-id": len(ice_schema),
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": ice_schema}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": PARTITION_FIELD_ID_START if spec_fields else PARTITION_FIELD_ID_START - 1,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": snap_id,
+        "snapshots": (meta["snapshots"] if meta else []) + [snapshot],
+        "snapshot-log": (meta.get("snapshot-log", []) if meta else [])
+        + [{"timestamp-ms": ts, "snapshot-id": snap_id}],
+        "metadata-log": [],
+    }
+    with open(os.path.join(_metadata_dir(table_path), f"v{snap_id}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=2)
+    with open(os.path.join(_metadata_dir(table_path), "version-hint.text"), "w") as f:
+        f.write(str(snap_id))
+    return snap_id
+
+
+# ---------------------------------------------------------------------------
+# read path
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FileTask:
+    path: str
+    record_count: int
+    partition: dict = field(default_factory=dict)
+
+
+def _bound_excludes(op: str, value: Any, lo: Any, hi: Any) -> bool:
+    """True when [lo, hi] proves no row can satisfy (col op value)."""
+    if op == "=":
+        return (lo is not None and value < lo) or (hi is not None and value > hi)
+    if op in ("<", "<="):
+        return lo is not None and (lo > value or (op == "<" and lo >= value))
+    if op in (">", ">="):
+        return hi is not None and (hi < value or (op == ">" and hi <= value))
+    return False
+
+
+class IcebergTable:
+    """Reader over a table written by :func:`write_iceberg` (or any
+    spec-conformant v2 table within this module's supported subset)."""
+
+    def __init__(self, table_path: str):
+        self.path = table_path
+        self.meta = load_metadata(table_path)
+        self.schema_fields = self.meta["schemas"][0]["fields"]
+        self._types_by_name = {f["name"]: f["type"] for f in self.schema_fields}
+        self._ids_by_name = {f["name"]: f["id"] for f in self.schema_fields}
+        spec = self.meta["partition-specs"][0]["fields"]
+        self.partition_cols = [pf["name"] for pf in spec]
+
+    # -- snapshots ---------------------------------------------------------
+    def snapshots(self) -> list[dict]:
+        return self.meta["snapshots"]
+
+    def _resolve_snapshot(self, snapshot_id=None, as_of_ms=None) -> dict:
+        snaps = self.meta["snapshots"]
+        if snapshot_id is not None:
+            return next(s for s in snaps if s["snapshot-id"] == snapshot_id)
+        if as_of_ms is not None:
+            ok = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+            if not ok:
+                raise ValueError(f"no snapshot at or before {as_of_ms}")
+            return max(ok, key=lambda s: s["timestamp-ms"])
+        return next(s for s in snaps if s["snapshot-id"] == self.meta["current-snapshot-id"])
+
+    # -- planning ----------------------------------------------------------
+    def _prune_manifest(self, mf: dict, filters) -> bool:
+        """True -> skip this manifest entirely (partition summary proof)."""
+        if not filters or not mf.get("partitions") or not self.partition_cols:
+            return False
+        for (col, op, value) in filters:
+            for pcol, summ in zip(self.partition_cols, mf["partitions"]):
+                if col != pcol:
+                    continue
+                pt = self._types_by_name[pcol]
+                lo = decode_bound(summ["lower_bound"], pt) if summ.get("lower_bound") else None
+                hi = decode_bound(summ["upper_bound"], pt) if summ.get("upper_bound") else None
+                if _bound_excludes(op, value, lo, hi) and not summ.get("contains_null"):
+                    return True
+        return False
+
+    def plan_files(
+        self, snapshot_id=None, as_of_ms=None, filters=None
+    ) -> tuple[list[FileTask], dict]:
+        """-> (surviving file tasks, pruning report). Filters are
+        ``(col, op, literal)`` with op in =, <, <=, >, >=."""
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        _s, manifests = read_container_file(snap["manifest-list"])
+        report = {"manifests_total": len(manifests), "manifests_pruned": 0,
+                  "files_total": 0, "files_pruned": 0}
+        tasks: list[FileTask] = []
+        for mf in manifests:
+            if self._prune_manifest(mf, filters):
+                report["manifests_pruned"] += 1
+                continue
+            _es, entries = read_container_file(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == STATUS_DELETED:
+                    continue
+                df_ = e["data_file"]
+                report["files_total"] += 1
+                if self._prune_file(df_, filters):
+                    report["files_pruned"] += 1
+                    continue
+                tasks.append(FileTask(df_["file_path"], df_["record_count"], dict(df_["partition"])))
+        return tasks, report
+
+    def _prune_file(self, data_file: dict, filters) -> bool:
+        if not filters:
+            return False
+        for (col, op, value) in filters:
+            # identity partition value: exact prune
+            if col in data_file.get("partition", {}):
+                pv = data_file["partition"][col]
+                if pv is not None and _bound_excludes(op, value, pv, pv):
+                    return True
+            # column bounds from file stats
+            fid = self._ids_by_name.get(col)
+            if fid is None:
+                continue
+            pt = self._types_by_name[col]
+            lo = hi = None
+            for kv in data_file.get("lower_bounds") or []:
+                if kv["key"] == fid:
+                    lo = decode_bound(kv["value"], pt)
+            for kv in data_file.get("upper_bounds") or []:
+                if kv["key"] == fid:
+                    hi = decode_bound(kv["value"], pt)
+            if (lo is not None or hi is not None) and _bound_excludes(op, value, lo, hi):
+                return True
+        return False
+
+    # -- scan --------------------------------------------------------------
+    def scan(self, spark, snapshot_id=None, as_of_ms=None, filters=None):
+        """-> DataFrame over the snapshot, file-pruned by ``filters`` and
+        re-filtered Spark-side (semantics never depend on pruning)."""
+        from pyspark.sql import functions as F
+
+        tasks, _report = self.plan_files(snapshot_id, as_of_ms, filters)
+        ddl = spark_schema_ddl(self.schema_fields)
+        if not tasks:
+            return spark.createDataFrame([], ddl)
+        df = spark.read.schema(ddl).parquet(*[t.path for t in tasks])
+        for (col, op, value) in filters or []:
+            c = F.col(col)
+            df = df.filter(
+                {"=": c == value, "<": c < value, "<=": c <= value,
+                 ">": c > value, ">=": c >= value}[op]
+            )
+        return df
+
+
+def scan_manifests_distributed(spark, manifest_paths: list[str]):
+    """Executor-side manifest parsing for snapshots with many manifests:
+    parallelize the path list, each task Avro-decodes its manifests with
+    the pure-Python codec and emits one row per live data file. The
+    driver never holds all entries — at 10^12-row scale the file list
+    itself is a DataFrame to aggregate/join, not a collect."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mp in pdf["manifest_path"]:
+                _s, entries = read_container_file(mp)
+                for e in entries:
+                    if e["status"] == STATUS_DELETED:
+                        continue
+                    d = e["data_file"]
+                    rows.append(
+                        (mp, d["file_path"], d["record_count"],
+                         d["file_size_in_bytes"], json.dumps(d["partition"]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["manifest_path", "file_path", "record_count",
+                         "file_size_in_bytes", "partition_json"],
+            )
+
+    paths = spark.createDataFrame([(p,) for p in manifest_paths], "manifest_path STRING")
+    return paths.repartition(max(1, min(len(manifest_paths), 64))).mapInPandas(
+        gen,
+        "manifest_path STRING, file_path STRING, record_count LONG, "
+        "file_size_in_bytes LONG, partition_json STRING",
+    )

@@ -132,8 +132,12 @@ def pages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pages_table(spark: SparkSession, name: str) -> DataFrame:
     """Production input path: a catalog table (Iceberg at deployment — the
     connector jar is environment-provided; in this sandbox any registered
-    table/view with the pages schema). Downstream operators are identical:
-    they see a DataFrame with (url, warc_ts, html, text, lang)."""
+    table/view with the pages schema). Without a catalog, the in-repo
+    from-scratch connector reads spec-conformant Iceberg v2 tables
+    directly: ``sources.iceberg.IcebergTable(path).scan(spark, ...)`` with
+    snapshot isolation, time travel, and partition/bounds pruning.
+    Downstream operators are identical: they see a DataFrame with
+    (url, warc_ts, html, text, lang)."""
     return spark.read.table(name)
 
 
