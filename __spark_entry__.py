@@ -346,6 +346,19 @@ def _q_iceberg_time_travel(spark, sf_dir):
     )
 
 
+def _q_iceberg_incremental(spark, sf_dir):
+    """Incremental (CDC append) scan between snapshots 1 and 2: exactly
+    the appended half (doc_id > (min+max)//2), never re-reading snapshot
+    1's files — the streaming-ingest read pattern at production scale."""
+    from robosat_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(_iceberg_documents_path(spark, sf_dir))
+    df = t.scan_incremental(spark, from_snapshot_id=1, to_snapshot_id=2)
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
 def _q_tile_adjacency(spark, sf_dir):
     """J6 tile-adjacency self-join: count occupied neighbor pairs among
     the distinct z12 tiles of the geotagged points."""
@@ -1387,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
         "iceberg_scan": _q_iceberg_scan,
         "iceberg_time_travel": _q_iceberg_time_travel,
+        "iceberg_incremental": _q_iceberg_incremental,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "ann_ivf": _q_ann_ivf,
@@ -1994,6 +2008,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc_id
         FROM documents
         WHERE doc_id <= (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 FROM documents)
+        GROUP BY lang
+    """
+    sql["iceberg_incremental"] = """
+        SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        FROM documents
+        WHERE doc_id > (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 FROM documents)
         GROUP BY lang
     """
 

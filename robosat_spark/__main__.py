@@ -14,11 +14,13 @@ GeoJSON for features), call the operator, write parquet/GeoJSON.
     python -m robosat_spark masks     --probs P --out O
     python -m robosat_spark compare   --masks M --truth T --out O
     python -m robosat_spark weights   --masks M [--classes 2] [--out O]
+    python -m robosat_spark download  --tiles T.csv --url TPL --out DIR
+    python -m robosat_spark serve     --grids G [--port 5000]
 
 Reference tool parity: cover/rasterize/predict/masks/features/merge/dedupe/
-subset/compare/weights map to the 14-tool registry of
+subset/compare/weights/download/serve map to the 14-tool registry of
 /root/reference/robosat/tools/__main__.py:22-59 (train/export are out of
-scope per SURVEY §2.4; download/serve exist as source/operator APIs).
+scope per SURVEY §2.4).
 """
 
 from __future__ import annotations
@@ -169,6 +171,36 @@ def cmd_weights(spark, args):
         print([round(r["weight"], 6) for r in rows])
 
 
+def cmd_download(spark, args):
+    """`rs download` analog (/root/reference/robosat/tools/download.py):
+    tiles.csv + a {z}/{x}/{y} template -> slippy dir, rate-limited,
+    skip-existing resume. http(s), file://, and plain-path templates."""
+    from .sources.fixtures import tiles_from_csv
+    from .sources.sinks import download_tiles
+
+    tiles = tiles_from_csv(spark, args.tiles)
+    download_tiles(tiles, args.url, args.out, rate_per_sec=args.rate, ext=args.ext)
+
+
+def cmd_serve(spark, args):
+    """`rs serve` analog (/root/reference/robosat/tools/serve.py): HTTP
+    GET /z/x/y.png over a slippy-parquet grid layout, partition-pruned
+    lookups, from-scratch PNG encoding."""
+    from .functions.colors import class_palette
+    from .operators.serve import make_tile_server
+
+    grids = spark.read.parquet(args.grids)
+    srv = make_tile_server(
+        grids, host=args.host, port=args.port, palette=class_palette(_MASK_PALETTE)
+    )
+    print(f"serving tiles on http://{args.host}:{args.port}/z/x/y.png")
+    if args.requests > 0:  # bounded mode for scripted runs/tests
+        for _ in range(args.requests):
+            srv.handle_request()
+    else:
+        srv.serve_forever()
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="robosat_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -220,6 +252,17 @@ def build_parser():
     w = sub.add_parser("weights"); w.add_argument("--masks", required=True)
     w.add_argument("--classes", type=int, default=2); w.add_argument("--out", default=None)
     w.set_defaults(func=cmd_weights)
+
+    dl = sub.add_parser("download"); dl.add_argument("--tiles", required=True)
+    dl.add_argument("--url", required=True, help="{z}/{x}/{y} template (http(s)://, file://, or path)")
+    dl.add_argument("--out", required=True); dl.add_argument("--rate", type=float, default=10.0)
+    dl.add_argument("--ext", default="png"); dl.set_defaults(func=cmd_download)
+
+    sv = sub.add_parser("serve"); sv.add_argument("--grids", required=True)
+    sv.add_argument("--host", default="127.0.0.1"); sv.add_argument("--port", type=int, default=5000)
+    sv.add_argument("--requests", type=int, default=0,
+                    help="serve N requests then exit (0 = forever)")
+    sv.set_defaults(func=cmd_serve)
     return p
 
 

@@ -84,13 +84,14 @@ def decode_images(
     ``fake=True`` honors the stub contract UNCONDITIONALLY: every payload
     (valid PNGs included) yields the deterministic fixed-shape
     ``fake_decode_bytes`` grid, so callers get a stable (h, w, channels)
-    regardless of payload contents. ``fake=False`` decodes for real: PNG
-    and baseline JPEG via the from-scratch kernels (palette PNGs yield the
-    class-INDEX grid, matching the mask-pipeline contract); other formats
-    raise NotImplementedError at plan-execution time (WebP/video need
-    native libs absent here). The Spark plumbing — column pruning before
-    the UDF, Arrow batch iteration, output schema — is the real production
-    shape either way."""
+    regardless of payload contents. ``fake=False`` decodes for real: PNG,
+    baseline JPEG, and lossless WebP (VP8L) via the from-scratch kernels
+    (palette PNGs yield the class-INDEX grid, matching the mask-pipeline
+    contract); lossy-WebP/video raise NotImplementedError at
+    plan-execution time (a different codec family; native libs absent
+    here). The Spark plumbing — column pruning before the UDF, Arrow
+    batch iteration, output schema — is the real production shape either
+    way."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.png import decode_png
@@ -109,11 +110,16 @@ def decode_images(
                     from ..kernels.jpeg import decode_jpeg
 
                     grid = decode_jpeg(payload)
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+                    from ..kernels.webp import decode_webp
+
+                    grid = decode_webp(payload)  # VP8L; lossy VP8 raises
                 else:
                     raise NotImplementedError(
-                        "only PNG/baseline-JPEG decode is implemented from "
-                        "scratch (WebP/video need native libs absent in this "
-                        "environment); pass fake=True for the deterministic stub"
+                        "only PNG/baseline-JPEG/lossless-WebP decode is "
+                        "implemented from scratch (lossy WebP and video need "
+                        "native libs absent in this environment); pass "
+                        "fake=True for the deterministic stub"
                     )
                 if grid.ndim == 2:
                     grid = grid[:, :, None]

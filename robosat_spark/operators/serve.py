@@ -40,3 +40,39 @@ def serve_tile_png(
         return None
     grid = np.frombuffer(row["data"], dtype=np.uint8).reshape(row["h"], row["w"])
     return encode_png(grid, palette=palette)
+
+
+def make_tile_server(grids: DataFrame, host: str = "127.0.0.1", port: int = 5000,
+                     palette: list[int] | None = None):
+    """-> stdlib ``http.server.HTTPServer`` answering ``GET /z/x/y.png``
+    with partition-pruned lookups — the full `rs serve` analog
+    (/root/reference/robosat/tools/serve.py:24-69 is a single-threaded
+    Flask handler; this is the same proof-of-concept shape without the
+    Flask dependency). Caller runs ``serve_forever()`` (CLI) or
+    ``handle_request()`` in a thread (tests)."""
+    import re
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    route = re.compile(r"^/(\d+)/(\d+)/(\d+)\.png$")
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            m = route.match(self.path)
+            png = None
+            if m:
+                z, x, y = (int(g) for g in m.groups())
+                png = serve_tile_png(grids, z, x, y, palette=palette)
+            if png is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            self.end_headers()
+            self.wfile.write(png)
+
+        def log_message(self, *a):  # quiet test output
+            pass
+
+    return HTTPServer((host, port), Handler)

@@ -559,6 +559,39 @@ class IcebergTable:
                 return True
         return False
 
+    def plan_incremental_files(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> list[FileTask]:
+        """Files ADDED strictly after ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (default: current) — the append-only
+        incremental/CDC read that feeds a streaming ingest: each
+        micro-batch processes exactly the rows new since the last
+        checkpointed snapshot, with snapshot isolation guaranteeing no
+        torn reads of a half-committed append."""
+        to_snap = self._resolve_snapshot(to_snapshot_id)
+        _s, manifests = read_container_file(to_snap["manifest-list"])
+        tasks = []
+        for mf in manifests:
+            if mf["added_snapshot_id"] <= from_snapshot_id:
+                continue  # whole manifest predates the cursor
+            _es, entries = read_container_file(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == STATUS_DELETED:
+                    continue
+                if (e.get("snapshot_id") or mf["added_snapshot_id"]) <= from_snapshot_id:
+                    continue
+                d = e["data_file"]
+                tasks.append(FileTask(d["file_path"], d["record_count"], dict(d["partition"])))
+        return tasks
+
+    def scan_incremental(self, spark, from_snapshot_id: int, to_snapshot_id: int | None = None):
+        """-> DataFrame of rows appended in (from_snapshot_id, to]."""
+        tasks = self.plan_incremental_files(from_snapshot_id, to_snapshot_id)
+        ddl = spark_schema_ddl(self.schema_fields)
+        if not tasks:
+            return spark.createDataFrame([], ddl)
+        return spark.read.schema(ddl).parquet(*[t.path for t in tasks])
+
     # -- scan --------------------------------------------------------------
     def scan(self, spark, snapshot_id=None, as_of_ms=None, filters=None):
         """-> DataFrame over the snapshot, file-pruned by ``filters`` and

@@ -153,3 +153,54 @@ def throttled_idempotent_sink(
             write_one(row)
 
     df.foreachPartition(sink)
+
+
+def download_tiles(
+    tiles: DataFrame,
+    url_template: str,
+    out_root: str,
+    rate_per_sec: float = 10.0,
+    ext: str = "png",
+) -> None:
+    """The `rs download` tool (/root/reference/robosat/tools/download.py:
+    38-78): fetch each (z, x, y) tile from a ``{z}/{x}/{y}`` template into
+    the slippy directory layout, rate-limited, skipping tiles that already
+    exist (rerun-safe resume). Distributed via
+    :func:`throttled_idempotent_sink` — each partition runs its own token
+    bucket, so the global rate is rate_per_sec x partitions (repartition
+    to bound it, exactly like sizing the reference's num_workers).
+
+    ``http(s)://`` templates fetch with urllib; ``file://`` or plain-path
+    templates read the local filesystem (the sandbox has no network — the
+    tests exercise the full path with a local template). Writes are
+    tmp-then-rename so an interrupted fetch never leaves a partial tile."""
+    import uuid
+
+    def write_one(row):
+        import urllib.request
+
+        z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
+        src = url_template.format(z=z, x=x, y=y)
+        if src.startswith(("http://", "https://")):
+            with urllib.request.urlopen(src, timeout=30) as resp:
+                data = resp.read()
+        else:
+            if src.startswith("file://"):
+                src = src[len("file://"):]
+            with open(src, "rb") as f:
+                data = f.read()
+        d = os.path.join(out_root, str(z), str(x))
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"{y}.{ext}")
+        tmp = final + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, final)
+
+    def exists(key):
+        z, x, y = key
+        return os.path.exists(os.path.join(out_root, str(z), str(x), f"{y}.{ext}"))
+
+    throttled_idempotent_sink(
+        tiles.select("z", "x", "y"), write_one, ["z", "x", "y"], exists, rate_per_sec
+    )

@@ -111,3 +111,77 @@ def test_cli_full_chain(spark, tmp_path):
     w = {r["class"]: r["weight"] for r in spark.read.parquet(w_out).collect()}
     assert set(w) == {0, 1} and all(v > 0 for v in w.values())
     assert w[1] > w[0]  # foreground is rarer -> larger weight
+
+
+def test_cli_download_local_template_resume(spark, tmp_path):
+    """`download`: local {z}/{x}/{y} template -> slippy dir, skip-existing
+    resume (pre-existing tile bytes untouched on rerun)."""
+    import os
+
+    # source "tile server": a local slippy tree with distinct bytes per tile
+    src = tmp_path / "src"
+    tiles = [(18, 1, 1), (18, 1, 2), (18, 2, 1)]
+    for z, x, y in tiles:
+        d = src / str(z) / str(x)
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"{y}.png").write_bytes(f"tile-{z}-{x}-{y}".encode())
+    csv = tmp_path / "tiles.csv"
+    csv.write_text("".join(f"{x},{y},{z}\n" for z, x, y in tiles))
+
+    out = tmp_path / "dl"
+    # pre-plant one tile with sentinel bytes: download must SKIP it
+    (out / "18" / "1").mkdir(parents=True)
+    (out / "18" / "1" / "1.png").write_bytes(b"sentinel")
+
+    tpl = str(src) + "/{z}/{x}/{y}.png"
+    main(["download", "--tiles", str(csv), "--url", tpl, "--out", str(out),
+          "--rate", "1000"], spark=spark)
+
+    assert (out / "18" / "1" / "1.png").read_bytes() == b"sentinel"  # skipped
+    assert (out / "18" / "1" / "2.png").read_bytes() == b"tile-18-1-2"
+    assert (out / "18" / "2" / "1.png").read_bytes() == b"tile-18-2-1"
+    assert not any(f.endswith(".tmp") for f in os.listdir(out / "18" / "1"))
+
+
+def test_cli_serve_http_roundtrip(spark, tmp_path):
+    """`serve`: real HTTP GET /z/x/y.png against the stdlib server returns
+    the same bytes as the direct serve_tile_png call; unknown tile -> 404."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from robosat_spark.functions.colors import class_palette
+    from robosat_spark.operators.serve import make_tile_server, serve_tile_png
+    from robosat_spark.operators.rasterize import rasterize_masks
+    from robosat_spark.sources.fixtures import features
+    from robosat_spark.operators.cover import cover
+
+    ft = features(spark).filter(F.col("feature_id") < 1)
+    tiles = cover(ft, zoom=18).select("x", "y").limit(2)
+    masks = rasterize_masks(spark, tiles, ft, zoom=18, size=64)
+    root = str(tmp_path / "grids")
+    masks.write.partitionBy("z", "x").parquet(root)
+    grids = spark.read.parquet(root)
+    first = grids.select("z", "x", "y").first()
+    pal = class_palette(["white", "denim"])
+
+    srv = make_tile_server(grids, port=0, palette=pal)  # port 0 = ephemeral
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.handle_request)
+    t.start()
+    url = f"http://127.0.0.1:{port}/{first['z']}/{first['x']}/{first['y']}.png"
+    got = urllib.request.urlopen(url, timeout=30).read()
+    t.join(timeout=60)
+    want = serve_tile_png(grids, first["z"], first["x"], first["y"], palette=pal)
+    assert got == want and got[:4] == b"\x89PNG"
+
+    t2 = threading.Thread(target=srv.handle_request)
+    t2.start()
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/9/9/9.png", timeout=30)
+        status = 200
+    except urllib.error.HTTPError as e:
+        status = e.code
+    t2.join(timeout=60)
+    srv.server_close()
+    assert status == 404

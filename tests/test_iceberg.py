@@ -159,3 +159,17 @@ def test_iceberg_append_carries_prior_manifests_forward(table):
     assert len(manifests) == 2  # snapshot 1's manifest + snapshot 2's
     assert sorted(m["added_snapshot_id"] for m in manifests) == [1, 2]
     assert sum(m["added_rows_count"] for m in manifests) == 60
+
+
+def test_iceberg_incremental_scan(spark, table):
+    """Incremental read after snapshot 1 returns exactly the appended
+    rows; a cursor at the current snapshot returns nothing."""
+    path, _df = table
+    t = IcebergTable(path)
+    inc = t.scan_incremental(spark, from_snapshot_id=1)
+    got = {r["doc_id"] for r in inc.select("doc_id").collect()}
+    assert got == set(range(30, 60))
+    assert t.scan_incremental(spark, from_snapshot_id=2).count() == 0
+    # snapshot-1 files are not in the incremental plan at all
+    tasks = t.plan_incremental_files(from_snapshot_id=1)
+    assert tasks and all("snap-2" in task.path for task in tasks)

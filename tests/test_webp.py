@@ -1,0 +1,232 @@
+"""From-scratch VP8L (WebP lossless) codec: round-trips + hand-built
+bitstreams exercising the decoder paths the baseline encoder never emits
+(LZ77 backrefs, color cache, subtract-green, palette bundling, predictor).
+"""
+
+import numpy as np
+import pytest
+
+from robosat_spark.kernels.webp import (
+    DISTANCE_MAP,
+    SIGNATURE,
+    BitReaderLSB,
+    BitWriterLSB,
+    _prefix_encode,
+    _prefix_value,
+    _write_channel_code,
+    decode_webp,
+    encode_webp,
+)
+
+
+def _rgba(img):
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    if img.shape[2] == 3:
+        img = np.concatenate([img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
+    return img
+
+
+def test_roundtrip_shapes_and_values():
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randint(0, 256, (13, 17, 4), dtype=np.uint8),
+        rng.randint(0, 256, (9, 9), dtype=np.uint8),
+        (rng.rand(32, 32) > 0.5).astype(np.uint8) * 255,
+        np.full((5, 6, 3), 77, np.uint8),
+        np.array([[42]], dtype=np.uint8),
+        np.arange(256, dtype=np.uint8).reshape(16, 16),
+    ]
+    for img in cases:
+        out = decode_webp(encode_webp(img))
+        assert np.array_equal(out, _rgba(img))
+
+
+def test_prefix_code_value_roundtrip():
+    for v in list(range(1, 400)) + [4096, 100000]:
+        code, extra_val, extra_bits = _prefix_encode(v)
+        bw = BitWriterLSB()
+        bw.write_bits(extra_val, extra_bits)
+        br = BitReaderLSB(bw.finish() or b"\x00")
+        assert _prefix_value(code, br) == v, v
+
+
+def test_distance_map_known_answer():
+    """Prefix of the 120-neighbor map pinned from the spec's ordering."""
+    assert DISTANCE_MAP[:22] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2),
+    ]
+    assert len(DISTANCE_MAP) == 120
+
+
+def _wrap(bw: BitWriterLSB) -> bytes:
+    import struct
+
+    vp8l = bytes([SIGNATURE]) + bw.finish()
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        riff += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _header(bw, w, h):
+    bw.write_bits(w - 1, 14)
+    bw.write_bits(h - 1, 14)
+    bw.write_bits(0, 1)  # alpha hint
+    bw.write_bits(0, 3)  # version
+
+
+def test_decode_lz77_backref():
+    """1x4: one literal then a length-3 distance-1 backref."""
+    bw = BitWriterLSB()
+    _header(bw, 4, 1)
+    bw.write_bits(0, 1)  # no transforms
+    bw.write_bits(0, 1)  # no cache
+    bw.write_bits(0, 1)  # no meta
+    # green tree: literal 20 + length-symbol 256+2 (length 3 -> code 2)
+    gt = _write_channel_code(bw, {20: 5, 258: 1}, 280)
+    rt = _write_channel_code(bw, {10: 1}, 256)
+    bt = _write_channel_code(bw, {30: 1}, 256)
+    at = _write_channel_code(bw, {255: 1}, 256)
+    dt = _write_channel_code(bw, {13: 1}, 40)  # dist prefix sym for code 121
+    c, l = gt[20]; bw.write_code(c, l)          # literal pixel
+    for tab, s in ((rt, 10), (bt, 30), (at, 255)):
+        c, l = tab[s]; bw.write_code(c, l)
+    c, l = gt[258]; bw.write_code(c, l)         # length 3 (no extra bits)
+    c, l = dt[13]; bw.write_code(c, l)          # dist prefix symbol
+    bw.write_bits(24, 5)                        # extra -> dist_code 121 -> dist 1
+    out = decode_webp(_wrap(bw))
+    assert out.shape == (1, 4, 4)
+    assert np.array_equal(out, np.tile([10, 20, 30, 255], (1, 4, 1)))
+
+
+def test_decode_color_cache():
+    """1x2: literal then a color-cache hit of the same pixel."""
+    cache_bits = 4
+    px = (255 << 24) | (10 << 16) | (20 << 8) | 30
+    idx = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+    bw = BitWriterLSB()
+    _header(bw, 2, 1)
+    bw.write_bits(0, 1)              # no transforms
+    bw.write_bits(1, 1)              # color cache
+    bw.write_bits(cache_bits, 4)
+    bw.write_bits(0, 1)              # no meta
+    gt = _write_channel_code(bw, {20: 5, 280 + idx: 1}, 280 + (1 << cache_bits))
+    rt = _write_channel_code(bw, {10: 1}, 256)
+    bt = _write_channel_code(bw, {30: 1}, 256)
+    at = _write_channel_code(bw, {255: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 40)
+    c, l = gt[20]; bw.write_code(c, l)
+    c, l = gt[280 + idx]; bw.write_code(c, l)
+    out = decode_webp(_wrap(bw))
+    assert np.array_equal(out, np.tile([10, 20, 30, 255], (1, 2, 1)))
+
+
+def test_decode_subtract_green_transform():
+    """Residuals carry r-g / b-g; inverse adds green back."""
+    r, g, b, a = 100, 30, 7, 255
+    bw = BitWriterLSB()
+    _header(bw, 1, 1)
+    bw.write_bits(1, 1)  # a transform follows
+    bw.write_bits(2, 2)  # subtract-green
+    bw.write_bits(0, 1)  # end of transforms
+    bw.write_bits(0, 1)  # no cache
+    bw.write_bits(0, 1)  # no meta
+    _write_channel_code(bw, {g: 1}, 280)
+    _write_channel_code(bw, {(r - g) & 0xFF: 1}, 256)
+    _write_channel_code(bw, {(b - g) & 0xFF: 1}, 256)
+    _write_channel_code(bw, {a: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 40)
+    out = decode_webp(_wrap(bw))  # all codes single-symbol: zero data bits
+    assert np.array_equal(out, [[[r, g, b, a]]])
+
+
+def test_decode_color_indexing_with_bundling():
+    """2-color palette: 8 one-bit indices bundled into one green byte."""
+    bw = BitWriterLSB()
+    _header(bw, 8, 1)
+    bw.write_bits(1, 1)  # a transform follows
+    bw.write_bits(3, 2)  # color indexing
+    bw.write_bits(1, 8)  # n_colors - 1 = 1
+    # palette image (2x1, delta-coded): c0 = opaque black, c1 = c0 + red 255
+    bw.write_bits(0, 1)  # sub-image: no color cache
+    _write_channel_code(bw, {0: 1}, 280)            # greens both 0
+    pr = _write_channel_code(bw, {0: 1, 255: 1}, 256)  # red: 0 then delta 255
+    _write_channel_code(bw, {0: 1}, 256)            # blue
+    pa = _write_channel_code(bw, {255: 1, 0: 1}, 256)  # alpha: 255 then delta 0
+    _write_channel_code(bw, {0: 1}, 40)
+    for red, alpha in ((0, 255), (255, 0)):
+        c, l = pr[red]; bw.write_code(c, l)
+        c, l = pa[alpha]; bw.write_code(c, l)
+    bw.write_bits(0, 1)  # end of transforms
+    # main image: packed width 1, single green 0b01010101
+    bw.write_bits(0, 1)  # no cache
+    bw.write_bits(0, 1)  # no meta
+    _write_channel_code(bw, {0b01010101: 1}, 280)
+    _write_channel_code(bw, {0: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 256)
+    _write_channel_code(bw, {255: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 40)
+    out = decode_webp(_wrap(bw))
+    red = [255, 0, 0, 255]
+    black = [0, 0, 0, 255]
+    assert np.array_equal(out, [[red, black, red, black, red, black, red, black]])
+
+
+def test_decode_predictor_transform():
+    """2x2, one block, mode 2 (T); edge rules L/T/black for the borders."""
+    bw = BitWriterLSB()
+    _header(bw, 2, 2)
+    bw.write_bits(1, 1)  # a transform follows
+    bw.write_bits(0, 2)  # predictor
+    bw.write_bits(0, 3)  # size_bits - 2 = 0 -> 4x4 blocks -> 1x1 sub-image
+    # sub-image: single pixel, green = mode 2
+    bw.write_bits(0, 1)  # sub-image: no color cache
+    _write_channel_code(bw, {2: 1}, 280)
+    _write_channel_code(bw, {0: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 256)
+    _write_channel_code(bw, {255: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 40)
+    bw.write_bits(0, 1)  # end of transforms
+    bw.write_bits(0, 1)  # no cache
+    bw.write_bits(0, 1)  # no meta
+    # residuals: (0,0) vs opaque black -> (5,6,7,0); others zero
+    gt = _write_channel_code(bw, {6: 1, 0: 3}, 280)
+    rt = _write_channel_code(bw, {5: 1, 0: 3}, 256)
+    bt = _write_channel_code(bw, {7: 1, 0: 3}, 256)
+    _write_channel_code(bw, {0: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 40)
+    for gg, rr, bb in ((6, 5, 7), (0, 0, 0), (0, 0, 0), (0, 0, 0)):
+        c, l = gt[gg]; bw.write_code(c, l)
+        c, l = rt[rr]; bw.write_code(c, l)
+        c, l = bt[bb]; bw.write_code(c, l)
+    out = decode_webp(_wrap(bw))
+    assert np.array_equal(out, np.tile([5, 6, 7, 255], (2, 2, 1)))
+
+
+def test_decode_rejects_garbage_and_lossy():
+    with pytest.raises(ValueError):
+        decode_webp(b"nonsense")
+    import struct
+
+    lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError):
+        decode_webp(lossy)
+
+
+def test_decode_images_webp_spark(spark):
+    """decode_images routes RIFF/WEBP payloads through the VP8L decoder."""
+    from robosat_spark.functions.multimodal import decode_images
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+    payload = encode_webp(img)
+    df = spark.createDataFrame([("w1", bytearray(payload))], "url STRING, data BINARY")
+    rows = decode_images(df, key_col="url", data_col="data", fake=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    got = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(r["h"], r["w"], r["channels"])
+    assert np.array_equal(got, _rgba(img))
