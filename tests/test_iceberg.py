@@ -173,3 +173,39 @@ def test_iceberg_incremental_scan(spark, table):
     # snapshot-1 files are not in the incremental plan at all
     tasks = t.plan_incremental_files(from_snapshot_id=1)
     assert tasks and all("snap-2" in task.path for task in tasks)
+
+
+def test_iceberg_cursor_microbatch_ingest(spark, table, tmp_path):
+    """Checkpointed poll loop: consumes each snapshot exactly once across
+    restarts; a crash BEFORE the cursor commit replays the batch
+    (at-least-once), never skips one."""
+    from robosat_spark.streaming.iceberg_ingest import IcebergCursor
+
+    path, _df = table
+    seen = []
+
+    def sink(df, snap_id):
+        seen.append((snap_id, sorted(r["doc_id"] for r in df.select("doc_id").collect())))
+
+    c = IcebergCursor(path, str(tmp_path / "ckpt"))
+    assert c.poll(spark, sink) == 2  # both snapshots, in order
+    assert [s for s, _ in seen] == [1, 2]
+    assert seen[0][1] == list(range(0, 30))
+    assert seen[1][1] == list(range(30, 60))
+    # idempotent restart: nothing new
+    assert c.poll(spark, sink) == 0 and len(seen) == 2
+    # a fresh cursor object over the same dir resumes from the same place
+    c2 = IcebergCursor(path, str(tmp_path / "ckpt"))
+    assert c2.position() == 2 and c2.poll(spark, sink) == 0
+
+    # crash simulation: process raises -> cursor must NOT advance
+    c3 = IcebergCursor(path, str(tmp_path / "ckpt2"))
+
+    def boom(df, snap_id):
+        raise RuntimeError("sink crashed")
+
+    with pytest.raises(RuntimeError):
+        c3.poll(spark, boom)
+    assert c3.position() == 0  # replay on next poll
+    assert c3.poll(spark, sink, max_snapshots=1) == 1
+    assert c3.position() == 1
