@@ -309,13 +309,34 @@ def write_iceberg(
     by_name = {f["name"]: f for f in ice_schema}
     stats_cols = tuple(stats_cols) + ((partition_by,) if partition_by else ())
 
+    # --- partition-spec evolution: reuse a prior spec with the same shape,
+    # else register a NEW spec (next spec-id, fresh partition field-id).
+    # Old manifests keep their spec-id; the reader prunes per manifest.
+    prior_specs = list(meta["partition-specs"]) if meta else []
+    last_pfid = meta.get("last-partition-id", PARTITION_FIELD_ID_START - 1) if meta else (
+        PARTITION_FIELD_ID_START - 1
+    )
+    want = (
+        [{"name": partition_by, "transform": "identity",
+          "source-id": by_name[partition_by]["id"]}]
+        if partition_by
+        else []
+    )
+    spec_id = None
     spec_fields = []
-    if partition_by:
-        spec_fields = [{
-            "name": partition_by, "transform": "identity",
-            "source-id": by_name[partition_by]["id"],
-            "field-id": PARTITION_FIELD_ID_START,
-        }]
+    for sp in prior_specs:
+        shape = [{k: f[k] for k in ("name", "transform", "source-id")} for f in sp["fields"]]
+        if shape == want:
+            spec_id = sp["spec-id"]
+            spec_fields = sp["fields"]
+            break
+    if spec_id is None:
+        spec_id = max((sp["spec-id"] for sp in prior_specs), default=-1) + 1
+        spec_fields = [
+            dict(f, **{"field-id": last_pfid + 1 + i}) for i, f in enumerate(want)
+        ]
+        last_pfid += len(want)
+        prior_specs = prior_specs + [{"spec-id": spec_id, "fields": spec_fields}]
 
     snap_id = v + 1
     seq = v + 1
@@ -382,7 +403,7 @@ def write_iceberg(
     new_manifest = {
         "manifest_path": man_path,
         "manifest_length": os.path.getsize(man_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -422,9 +443,9 @@ def write_iceberg(
         "last-column-id": len(ice_schema),
         "current-schema-id": 0,
         "schemas": [{"type": "struct", "schema-id": 0, "fields": ice_schema}],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "last-partition-id": PARTITION_FIELD_ID_START if spec_fields else PARTITION_FIELD_ID_START - 1,
+        "default-spec-id": spec_id,
+        "partition-specs": prior_specs if prior_specs else [{"spec-id": 0, "fields": []}],
+        "last-partition-id": last_pfid,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {},
@@ -474,8 +495,13 @@ class IcebergTable:
         self.schema_fields = self.meta["schemas"][0]["fields"]
         self._types_by_name = {f["name"]: f["type"] for f in self.schema_fields}
         self._ids_by_name = {f["name"]: f["id"] for f in self.schema_fields}
-        spec = self.meta["partition-specs"][0]["fields"]
-        self.partition_cols = [pf["name"] for pf in spec]
+        # spec evolution: each manifest carries its partition_spec_id and
+        # is pruned against ITS spec's columns, not the current default
+        self.specs = {
+            sp["spec-id"]: [pf["name"] for pf in sp["fields"]]
+            for sp in self.meta["partition-specs"]
+        }
+        self.partition_cols = self.specs.get(self.meta.get("default-spec-id", 0), [])
 
     # -- snapshots ---------------------------------------------------------
     def snapshots(self) -> list[dict]:
@@ -494,11 +520,13 @@ class IcebergTable:
 
     # -- planning ----------------------------------------------------------
     def _prune_manifest(self, mf: dict, filters) -> bool:
-        """True -> skip this manifest entirely (partition summary proof)."""
-        if not filters or not mf.get("partitions") or not self.partition_cols:
+        """True -> skip this manifest entirely (partition summary proof,
+        against the manifest's OWN partition spec)."""
+        spec_cols = self.specs.get(mf.get("partition_spec_id", 0), [])
+        if not filters or not mf.get("partitions") or not spec_cols:
             return False
         for (col, op, value) in filters:
-            for pcol, summ in zip(self.partition_cols, mf["partitions"]):
+            for pcol, summ in zip(spec_cols, mf["partitions"]):
                 if col != pcol:
                     continue
                 pt = self._types_by_name[pcol]

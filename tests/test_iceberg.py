@@ -209,3 +209,42 @@ def test_iceberg_cursor_microbatch_ingest(spark, table, tmp_path):
     assert c3.position() == 0  # replay on next poll
     assert c3.poll(spark, sink, max_snapshots=1) == 1
     assert c3.position() == 1
+
+
+def test_iceberg_partition_spec_evolution(spark, tmp_path):
+    """Appends may change the partitioning: each spec gets its own
+    spec-id, old manifests keep theirs, and pruning uses the manifest's
+    OWN spec — semantics never change (Spark-side refilter)."""
+    path = str(tmp_path / "tbl")
+    rows = [(i, f"doc {i}", ["en", "de"][i % 2], 10 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING, n_chars LONG")
+    write_iceberg(spark, df.filter("doc_id < 20"), path, partition_by="lang",
+                  stats_cols=("doc_id",), timestamp_ms=1000)
+    write_iceberg(spark, df.filter("doc_id >= 20 and doc_id < 30"), path,
+                  partition_by=None, stats_cols=("doc_id",), timestamp_ms=2000)
+    write_iceberg(spark, df.filter("doc_id >= 30"), path, partition_by="lang",
+                  stats_cols=("doc_id",), timestamp_ms=3000)
+
+    t = IcebergTable(path)
+    meta = t.meta
+    # two distinct specs registered; the lang spec REUSED for snapshot 3
+    assert sorted(t.specs.items()) == [(0, ["lang"]), (1, [])]
+    assert meta["default-spec-id"] == 0
+    snap3 = t._resolve_snapshot()
+    _s, manifests = read_container_file(snap3["manifest-list"])
+    by_snap = {m["added_snapshot_id"]: m["partition_spec_id"] for m in manifests}
+    assert by_snap == {1: 0, 2: 1, 3: 0}
+
+    # full scan = union of all three appends, rows exact
+    got = {r["doc_id"] for r in t.scan(spark).select("doc_id").collect()}
+    assert got == set(range(40))
+    # lang filter: spec-0 files prune by partition value, spec-1 (unpart)
+    # files survive planning and are filtered Spark-side — result exact
+    en = t.scan(spark, filters=[("lang", "=", "en")])
+    assert {r["doc_id"] for r in en.select("doc_id").collect()} == {
+        i for i in range(40) if i % 2 == 0
+    }
+    tasks, rep = t.plan_files(filters=[("lang", "=", "en")])
+    assert rep["files_pruned"] > 0  # the de partitions of snaps 1+3
+    # every pruned file was a spec-0 'de' file; all unpartitioned files kept
+    assert sum(1 for task in tasks if task.partition == {}) > 0
