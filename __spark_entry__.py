@@ -346,6 +346,42 @@ def _q_iceberg_time_travel(spark, sf_dir):
     )
 
 
+def _q_iceberg_pages_pip(spark, sf_dir):
+    """The north-star wiring end-to-end: the flagship geotag -> tile-encode
+    -> PIP pipeline reading its pages THROUGH the Iceberg connector (a
+    build-once snapshot of ``pages_from_events`` with url file stats)
+    instead of raw parquet. Same oracle as ``pip_assign`` — the storage
+    layer must be invisible to the result."""
+    import hashlib
+    import os
+    import tempfile
+
+    from robosat_spark.operators.spatial_join import assign_broadcast
+    from robosat_spark.sources.iceberg import IcebergTable, current_version, write_iceberg
+    from robosat_spark.sources.oracle_features import oracle_rect_features
+    from robosat_spark.sources.pages import pages_from_events
+
+    ev_dir = os.path.join(sf_dir, "events.parquet")
+    st_parts = []
+    for p in ([ev_dir] if os.path.isfile(ev_dir) else sorted(
+        os.path.join(ev_dir, f) for f in os.listdir(ev_dir) if f.endswith(".parquet")
+    )):
+        st = os.stat(p)
+        st_parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
+    key = hashlib.md5(("pages|" + "|".join(st_parts)).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"robosat_iceberg_pages_{key}")
+    if current_version(path) < 1:
+        write_iceberg(
+            spark, pages_from_events(spark, sf_dir), path, stats_cols=("url",)
+        )
+    pg = IcebergTable(path).scan(spark)
+    ft = oracle_rect_features(spark)
+    assigned = assign_broadcast(spark, pg, ft, zoom=7)
+    return assigned.groupBy("feature_id").agg(
+        F.count("*").alias("n_pages"), F.countDistinct("url").alias("n_urls")
+    )
+
+
 def _q_iceberg_incremental(spark, sf_dir):
     """Incremental (CDC append) scan between snapshots 1 and 2: exactly
     the appended half (doc_id > (min+max)//2), never re-reading snapshot
@@ -1401,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_scan": _q_iceberg_scan,
         "iceberg_time_travel": _q_iceberg_time_travel,
         "iceberg_incremental": _q_iceberg_incremental,
+        "iceberg_pages_pip": _q_iceberg_pages_pip,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "ann_ivf": _q_ann_ivf,
@@ -1799,6 +1836,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["pip_assign_salted"] = sql["pip_assign"]
     sql["pip_assign_jvm"] = sql["pip_assign"]
+    # the Iceberg table holds exactly the pages_from_events rows, so the
+    # storage path must not change the flagship result
+    sql["iceberg_pages_pip"] = sql["pip_assign"]
     sql["knn_cells"] = sql["knn"]
 
     tx_a, _, _ = _tile_sql(10, lon="x0")

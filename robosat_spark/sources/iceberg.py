@@ -52,17 +52,18 @@ PARTITION_FIELD_ID_START = 1000
 _SPARK_TO_ICEBERG = {
     "long": "long", "bigint": "long", "int": "int", "integer": "int",
     "string": "string", "double": "double", "float": "float",
-    "boolean": "boolean", "timestamp": "timestamptz", "binary": "binary",
+    "boolean": "boolean", "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp", "binary": "binary",
 }
 _ICEBERG_TO_SPARK = {
     "long": "long", "int": "int", "string": "string", "double": "double",
     "float": "float", "boolean": "boolean", "timestamptz": "timestamp",
-    "binary": "binary",
+    "timestamp": "timestamp_ntz", "binary": "binary",
 }
 _ICEBERG_TO_AVRO = {
     "long": "long", "int": "int", "string": "string", "double": "double",
     "float": "float", "boolean": "boolean", "timestamptz": "long",
-    "binary": "bytes",
+    "timestamp": "long", "binary": "bytes",
 }
 
 
@@ -70,7 +71,7 @@ def encode_bound(value: Any, ice_type: str) -> bytes:
     """Iceberg single-value binary serialization (spec Appendix D)."""
     if ice_type == "int":
         return struct.pack("<i", int(value))
-    if ice_type in ("long", "timestamptz"):
+    if ice_type in ("long", "timestamptz", "timestamp"):
         return struct.pack("<q", int(value))
     if ice_type == "float":
         return struct.pack("<f", float(value))
@@ -88,7 +89,7 @@ def encode_bound(value: Any, ice_type: str) -> bytes:
 def decode_bound(buf: bytes, ice_type: str) -> Any:
     if ice_type == "int":
         return struct.unpack("<i", buf)[0]
-    if ice_type in ("long", "timestamptz"):
+    if ice_type in ("long", "timestamptz", "timestamp"):
         return struct.unpack("<q", buf)[0]
     if ice_type == "float":
         return struct.unpack("<f", buf)[0]
