@@ -354,69 +354,15 @@ def write_iceberg(
     else:
         w.write.mode("overwrite").parquet(data_dir)
 
-    entries = []
-    for root, _dirs, files in sorted(os.walk(data_dir)):
-        part_val = None
-        base = os.path.basename(root)
-        if base.startswith("__part="):
-            part_val = base[len("__part="):]
-        for fn in sorted(files):
-            if not fn.endswith(".parquet"):
-                continue
-            p = os.path.join(root, fn)
-            n, size, nulls, lo, hi = _file_stats(p, ice_schema, stats_cols)
-            partition = {partition_by: part_val} if partition_by else {}
-            entries.append({
-                "status": STATUS_ADDED,
-                "snapshot_id": snap_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": p,
-                    "file_format": "PARQUET",
-                    "partition": partition,
-                    "record_count": n,
-                    "file_size_in_bytes": size,
-                    "null_value_counts": nulls,
-                    "lower_bounds": lo,
-                    "upper_bounds": hi,
-                },
-            })
-
-    # --- manifest avro
+    entries = _manifest_entries_for_dir(
+        data_dir, ice_schema, stats_cols, partition_by, snap_id, seq
+    )
     man_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-m0.avro")
     write_container_file(man_path, manifest_entry_schema(spec_fields, ice_schema), entries)
-
-    # partition field summaries for manifest-list pruning
-    part_summary = None
-    if partition_by:
-        vals = [e["data_file"]["partition"][partition_by] for e in entries]
-        non_null = [x for x in vals if x is not None]
-        pt = by_name[partition_by]["type"]
-        part_summary = [{
-            "contains_null": any(x is None for x in vals),
-            "contains_nan": False,
-            "lower_bound": encode_bound(min(non_null), pt) if non_null else None,
-            "upper_bound": encode_bound(max(non_null), pt) if non_null else None,
-        }]
-
-    new_manifest = {
-        "manifest_path": man_path,
-        "manifest_length": os.path.getsize(man_path),
-        "partition_spec_id": spec_id,
-        "content": 0,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_files_count": len(entries),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "partitions": part_summary,
-    }
+    part_summary = _partition_summary(entries, partition_by, by_name)
+    new_manifest = _manifest_file_record(
+        man_path, spec_id, seq, snap_id, entries, part_summary
+    )
 
     # --- manifest list: prior snapshot's manifests + the new one (append)
     prior = []
@@ -461,6 +407,151 @@ def write_iceberg(
     with open(os.path.join(_metadata_dir(table_path), "version-hint.text"), "w") as f:
         f.write(str(snap_id))
     return snap_id
+
+
+def compact_table(spark, table_path: str, target_files: int = 1) -> int:
+    """The ``rewrite_data_files`` maintenance action: rewrite the CURRENT
+    snapshot's data into ``target_files`` files per partition value and
+    commit a REPLACE snapshot whose manifest list references only the
+    compacted manifest. Logical content is unchanged (same rows); older
+    snapshots still reference the original files, so time travel keeps
+    working, and incremental cursors skip replace snapshots (no new
+    rows). Returns the new snapshot id."""
+    from pyspark.sql import functions as F
+
+    t = IcebergTable(table_path)
+    meta = t.meta
+    v = current_version(table_path)
+    snap_id, seq = v + 1, v + 1
+    ice_schema = t.schema_fields
+    spec_id = meta.get("default-spec-id", 0)
+    spec_fields = next(
+        sp["fields"] for sp in meta["partition-specs"] if sp["spec-id"] == spec_id
+    )
+    part_col = spec_fields[0]["name"] if spec_fields else None
+    # keep the same stats columns the existing manifests carry
+    stats_cols = _existing_stats_cols(t)
+
+    df = t.scan(spark)
+    data_dir = os.path.join(table_path, "data", f"snap-{snap_id}")
+    if part_col:
+        w = df.withColumn("__part", F.col(part_col)).repartition(target_files, F.col("__part"))
+        w.write.partitionBy("__part").mode("overwrite").parquet(data_dir)
+    else:
+        df.coalesce(target_files).write.mode("overwrite").parquet(data_dir)
+
+    entries = _manifest_entries_for_dir(data_dir, ice_schema, stats_cols, part_col, snap_id, seq)
+    man_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-m0.avro")
+    write_container_file(man_path, manifest_entry_schema(spec_fields, ice_schema), entries)
+    by_name = {f["name"]: f for f in ice_schema}
+    part_summary = _partition_summary(entries, part_col, by_name)
+    new_manifest = _manifest_file_record(man_path, spec_id, seq, snap_id, entries, part_summary)
+
+    ml_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-manifest-list.avro")
+    write_container_file(ml_path, MANIFEST_LIST_SCHEMA, [new_manifest])
+
+    ts = max(s["timestamp-ms"] for s in meta["snapshots"]) + 1
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": ml_path,
+        "schema-id": 0,
+        "summary": {"operation": "replace", "rewritten-data-files": str(len(entries))},
+    }
+    new_meta = dict(meta)
+    new_meta.update({
+        "last-sequence-number": seq,
+        "last-updated-ms": ts,
+        "current-snapshot-id": snap_id,
+        "snapshots": meta["snapshots"] + [snapshot],
+        "snapshot-log": meta.get("snapshot-log", [])
+        + [{"timestamp-ms": ts, "snapshot-id": snap_id}],
+    })
+    with open(os.path.join(_metadata_dir(table_path), f"v{snap_id}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=2)
+    with open(os.path.join(_metadata_dir(table_path), "version-hint.text"), "w") as f:
+        f.write(str(snap_id))
+    return snap_id
+
+
+def _existing_stats_cols(t: "IcebergTable") -> tuple:
+    """Column names that carry bounds in the current snapshot's manifests."""
+    snap = t._resolve_snapshot()
+    _s, manifests = read_container_file(snap["manifest-list"])
+    ids = set()
+    for mf in manifests:
+        _es, entries = read_container_file(mf["manifest_path"])
+        for e in entries:
+            for kv in e["data_file"].get("lower_bounds") or []:
+                ids.add(kv["key"])
+    by_id = {f["id"]: f["name"] for f in t.schema_fields}
+    return tuple(by_id[i] for i in sorted(ids) if i in by_id)
+
+
+def _manifest_entries_for_dir(data_dir, ice_schema, stats_cols, part_col, snap_id, seq):
+    entries = []
+    for root, _dirs, files in sorted(os.walk(data_dir)):
+        part_val = None
+        base = os.path.basename(root)
+        if base.startswith("__part="):
+            part_val = base[len("__part="):]
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(root, fn)
+            n, size, nulls, lo, hi = _file_stats(p, ice_schema, stats_cols)
+            entries.append({
+                "status": STATUS_ADDED,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {part_col: part_val} if part_col else {},
+                    "record_count": n,
+                    "file_size_in_bytes": size,
+                    "null_value_counts": nulls,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
+                },
+            })
+    return entries
+
+
+def _partition_summary(entries, part_col, by_name):
+    if not part_col:
+        return None
+    vals = [e["data_file"]["partition"][part_col] for e in entries]
+    non_null = [x for x in vals if x is not None]
+    pt = by_name[part_col]["type"]
+    return [{
+        "contains_null": any(x is None for x in vals),
+        "contains_nan": False,
+        "lower_bound": encode_bound(min(non_null), pt) if non_null else None,
+        "upper_bound": encode_bound(max(non_null), pt) if non_null else None,
+    }]
+
+
+def _manifest_file_record(man_path, spec_id, seq, snap_id, entries, part_summary):
+    return {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": spec_id,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": part_summary,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -596,7 +687,12 @@ class IcebergTable:
         incremental/CDC read that feeds a streaming ingest: each
         micro-batch processes exactly the rows new since the last
         checkpointed snapshot, with snapshot isolation guaranteeing no
-        torn reads of a half-committed append."""
+        torn reads of a half-committed append.
+
+        Caveat: a REPLACE (compaction) snapshot re-adds the whole table's
+        rows as new files; a window spanning one would double-count. Use
+        ``streaming.iceberg_ingest.IcebergCursor``, which advances past
+        replace snapshots without emitting a batch."""
         to_snap = self._resolve_snapshot(to_snapshot_id)
         _s, manifests = read_container_file(to_snap["manifest-list"])
         tasks = []

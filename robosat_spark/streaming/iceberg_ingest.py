@@ -59,13 +59,23 @@ class IcebergCursor:
         cursor advances past that snapshot. Returns #snapshots consumed."""
         table = IcebergTable(self.table_path)
         start = self.position()
-        new = [s["snapshot-id"] for s in table.snapshots() if s["snapshot-id"] > start]
-        new.sort()
+        new = sorted(
+            (s for s in table.snapshots() if s["snapshot-id"] > start),
+            key=lambda s: s["snapshot-id"],
+        )
         if max_snapshots is not None:
             new = new[:max_snapshots]
         consumed = 0
         prev = start
-        for snap_id in new:
+        for snap in new:
+            snap_id = snap["snapshot-id"]
+            if snap.get("summary", {}).get("operation") == "replace":
+                # compaction rewrite: its "added" files are the SAME logical
+                # rows — advance the cursor without emitting a batch (else
+                # every compaction would replay the whole table)
+                self._commit(snap_id)
+                prev = snap_id
+                continue
             df = table.scan_incremental(spark, from_snapshot_id=prev, to_snapshot_id=snap_id)
             process(df, snap_id)
             self._commit(snap_id)

@@ -248,3 +248,55 @@ def test_iceberg_partition_spec_evolution(spark, tmp_path):
     assert rep["files_pruned"] > 0  # the de partitions of snaps 1+3
     # every pruned file was a spec-0 'de' file; all unpartitioned files kept
     assert sum(1 for task in tasks if task.partition == {}) > 0
+
+
+def test_iceberg_compaction_replace_snapshot(spark, tmp_path):
+    """compact_table rewrites the current snapshot into fewer files as a
+    REPLACE snapshot: same rows, pruning still works, time travel still
+    sees pre-compaction state, and the micro-batch cursor does NOT replay
+    the table across the compaction."""
+    from robosat_spark.sources.iceberg import compact_table
+    from robosat_spark.streaming.iceberg_ingest import IcebergCursor
+
+    path = str(tmp_path / "tbl")
+    rows = [(i, f"doc {i}", ["en", "de", "fr"][i % 3], 10 + i) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING, n_chars LONG")
+    write_iceberg(spark, df.filter("doc_id < 30"), path, partition_by="lang",
+                  stats_cols=("doc_id",), timestamp_ms=1000)
+    write_iceberg(spark, df.filter("doc_id >= 30"), path, partition_by="lang",
+                  stats_cols=("doc_id",), timestamp_ms=2000)
+
+    # consume both appends BEFORE compaction
+    batches = []
+    c = IcebergCursor(path, str(tmp_path / "ckpt"))
+    assert c.poll(spark, lambda d, s: batches.append((s, d.count()))) == 2
+
+    t0 = IcebergTable(path)
+    files_before = len(t0.plan_files()[0])
+    snap = compact_table(spark, path, target_files=1)
+    assert snap == 3
+
+    t = IcebergTable(path)
+    files_after = len(t.plan_files()[0])
+    assert files_after < files_before  # 1 file per partition value now
+    # identical logical content
+    got = {tuple(r) for r in t.scan(spark).collect()}
+    assert got == {tuple(r) for r in df.collect()}
+    # pruning still proves partitions on the compacted manifest
+    tasks, rep = t.plan_files(filters=[("lang", "=", "de")])
+    assert rep["files_pruned"] > 0
+    assert all(task.partition["lang"] == "de" for task in tasks)
+    # stats survived compaction (bounds present on new files)
+    assert t.scan(spark, filters=[("doc_id", ">", 10**6)]).count() == 0
+    # time travel to the pre-compaction snapshot still reads old files
+    assert t.scan(spark, snapshot_id=2).count() == 60
+    assert t.scan(spark, snapshot_id=1).count() == 30
+    # the cursor skips the replace snapshot: no replayed batch
+    assert c.poll(spark, lambda d, s: batches.append((s, d.count()))) == 0
+    assert c.position() == 3 and len(batches) == 2
+    # a fresh append after compaction flows through normally
+    extra = spark.createDataFrame([(100, "x", "en", 1)],
+                                  "doc_id LONG, text STRING, lang STRING, n_chars LONG")
+    write_iceberg(spark, extra, path, partition_by="lang", stats_cols=("doc_id",))
+    assert c.poll(spark, lambda d, s: batches.append((s, d.count()))) == 1
+    assert batches[-1][1] == 1
