@@ -492,7 +492,11 @@ def _apply_inverse_transforms(argb: np.ndarray, w: int, h: int, transforms) -> n
                         L = out[y, x - 1]
                         T = out[y - 1, x]
                         TL = out[y - 1, x - 1]
-                        TR = out[y - 1, x + 1] if x + 1 < orig_w else out[y - 1, 0]
+                        # spec TR is flat-array pos-width+1: for the
+                        # rightmost column that wraps to the CURRENT row's
+                        # leftmost pixel (already reconstructed), not the
+                        # previous row's
+                        TR = out[y - 1, x + 1] if x + 1 < orig_w else out[y, 0]
                         pred = _predict(mode, L, T, TL, TR)
                     out[y, x] = (img[y, x] + pred) & 0xFF
             argb = out.astype(np.uint8).reshape(-1, 4).copy().view(np.uint32).reshape(-1)
@@ -539,8 +543,12 @@ def _predict(mode: int, L, T, TL, TR):
     if mode == 12:  # ClampAddSubtractFull
         return np.clip(L.astype(np.int64) + T - TL, 0, 255).astype(np.int32)
     if mode == 13:  # ClampAddSubtractHalf
+        # (a - TL) / 2 is C integer division (truncation toward ZERO per
+        # libwebp's AddSubtractComponentHalf), not Python floor division —
+        # they differ by 1 for odd negative deltas
         a = _avg2i(L, T).astype(np.int64)
-        return np.clip(a + (a - TL) // 2, 0, 255).astype(np.int32)
+        d = a - TL
+        return np.clip(a + np.sign(d) * (np.abs(d) // 2), 0, 255).astype(np.int32)
     raise ValueError(f"bad predictor mode {mode}")
 
 
@@ -560,11 +568,14 @@ def decode_webp(payload: bytes) -> np.ndarray:
         body = payload[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8L":
             return _decode_vp8l(body)
-        if fourcc in (b"VP8 ", b"VP8X"):
+        if fourcc == b"VP8 ":
             raise NotImplementedError(
-                "lossy/extended WebP decode not implemented from scratch "
+                "lossy (VP8) WebP decode not implemented from scratch "
                 "(VP8L lossless is; see kernels/webp.py)"
             )
+        # VP8X (extended header: metadata/ICC/EXIF/animation flags) is NOT
+        # itself a pixel payload — libwebp writes lossless-with-metadata
+        # files as VP8X followed by a VP8L chunk, so keep scanning
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8L chunk")
 

@@ -218,7 +218,11 @@ def jaccard_prefix_pairs(
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("token").asc())
-    prefix_len = F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1
+    # same 1e-9 slack as the length filter below: ceil(t*s) must not round
+    # an exactly-integer rational product UP (t*s representable a hair
+    # above the integer would shorten the prefix by one token and break
+    # the completeness guarantee for boundary pairs)
+    prefix_len = F.col("s") - F.ceil(F.lit(threshold) * F.col("s") - F.lit(1e-9)) + 1
     prefix = (
         ranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)

@@ -489,13 +489,61 @@ def _existing_stats_cols(t: "IcebergTable") -> tuple:
     return tuple(by_id[i] for i in sorted(ids) if i in by_id)
 
 
+_HIVE_NULL_SENTINEL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_path_name(s: str) -> str:
+    """Inverse of Hive/Spark escapePathName: reserved ASCII chars are
+    written as %XX (e.g. ':' -> %3A) in partition directory names."""
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def _coerce_partition_value(raw: str | None, ice_type: str):
+    """Partition-directory-name string -> TYPED Iceberg partition value.
+
+    Spark writes nulls as __HIVE_DEFAULT_PARTITION__ and %XX-escapes
+    reserved chars; summaries/bounds must be computed on typed values —
+    lexicographic min('10', '9') = '10' would invert numeric bounds,
+    making _prune_manifest silently drop manifests that DO match."""
+    if raw is None or raw == _HIVE_NULL_SENTINEL:
+        return None
+    s = _unescape_path_name(raw)
+    if ice_type in ("int", "long"):
+        return int(s)
+    if ice_type in ("float", "double"):
+        return float(s)
+    if ice_type == "boolean":
+        return s.lower() == "true"
+    if ice_type in ("timestamptz", "timestamp"):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)  # Iceberg micros
+    return s
+
+
 def _manifest_entries_for_dir(data_dir, ice_schema, stats_cols, part_col, snap_id, seq):
+    part_type = next((f["type"] for f in ice_schema if f["name"] == part_col), None)
     entries = []
     for root, _dirs, files in sorted(os.walk(data_dir)):
         part_val = None
         base = os.path.basename(root)
         if base.startswith("__part="):
-            part_val = base[len("__part="):]
+            part_val = _coerce_partition_value(base[len("__part="):], part_type)
         for fn in sorted(files):
             if not fn.endswith(".parquet"):
                 continue
@@ -658,10 +706,12 @@ class IcebergTable:
         if not filters:
             return False
         for (col, op, value) in filters:
-            # identity partition value: exact prune
+            # identity partition value: exact prune. A null partition can
+            # never satisfy a comparison predicate (SQL three-valued
+            # logic), so null-partition files are prunable too.
             if col in data_file.get("partition", {}):
                 pv = data_file["partition"][col]
-                if pv is not None and _bound_excludes(op, value, pv, pv):
+                if pv is None or _bound_excludes(op, value, pv, pv):
                     return True
             # column bounds from file stats
             fid = self._ids_by_name.get(col)

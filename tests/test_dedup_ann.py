@@ -121,6 +121,53 @@ def test_jaccard_prefix_equals_allpairs_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_jaccard_prefix_boundary_threshold_055(spark):
+    """0.55 * 100 = 55.00000000000001 in IEEE: a naive ceil yields 56,
+    shortening the prefix by one token and losing boundary pairs; the
+    epsilon-slacked prefix length keeps the completeness guarantee. Run
+    the full operator at t=0.55 against brute force on 100-shingle docs."""
+    from robosat_spark.operators.dedup import jaccard_prefix_pairs
+
+    row = (
+        spark.range(1)
+        .select(
+            F.ceil(F.lit(0.55) * F.lit(100) - F.lit(1e-9)).alias("fixed"),
+            F.ceil(F.lit(0.55) * F.lit(100)).alias("naive"),
+        )
+        .first()
+    )
+    assert row["fixed"] == 55 and row["naive"] == 56
+
+    # 102-word docs -> exactly 100 3-shingles each; engineered overlaps
+    words = [f"w{i:03d}" for i in range(102)]
+    rows = [
+        (0, " ".join(words)),
+        (1, " ".join(words[:78] + [f"x{i}" for i in range(24)])),  # high overlap
+        (2, " ".join(["y" + w for w in words])),  # disjoint
+        (3, " ".join(words)),  # identical to 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    from robosat_spark.operators.dedup import word_shingles
+
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    t = 0.55
+    want = set()
+    for a in sh:
+        for b in sh:
+            if a < b:
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                j = inter / union if union else 1.0
+                if j >= t:
+                    want.add((a, b, round(j, 6)))
+    out = jaccard_prefix_pairs(docs, k=3, threshold=t)
+    got = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 6)) for r in out.collect()}
+    assert got == want
+
+
 def test_lsh_neardup_pairs_planted_recall_no_bnlj(spark):
     """lsh_neardup_pairs: plan is a union of bucket equi-joins (no BNLJ),
     precision is exactly 1.0 vs the cosine threshold, and recall on

@@ -112,6 +112,43 @@ def test_iceberg_partition_and_stats_pruning(spark, table):
     assert t.scan(spark, filters=[("doc_id", ">", 10**6)]).count() == 0
 
 
+def test_iceberg_typed_partition_values(spark, tmp_path):
+    """Numeric / null / escapable-string partition values: summaries and
+    bounds must be computed on TYPED values (lexicographic min('10','9')
+    = '10' would invert numeric bounds and prune manifests that DO match),
+    nulls arrive as __HIVE_DEFAULT_PARTITION__, and %XX-escaped directory
+    names round-trip."""
+    path = str(tmp_path / "tbl_num")
+    rows = [(i, i % 12) for i in range(48)]  # buckets 0..11: '10' < '9' as strings
+    df = spark.createDataFrame(rows, "id LONG, bucket LONG")
+    write_iceberg(spark, df, path, partition_by="bucket", stats_cols=("id",))
+    t = IcebergTable(path)
+    # values a string-ordered summary would wrongly exclude
+    assert t.scan(spark, filters=[("bucket", "=", 11)]).count() == 4
+    assert t.scan(spark, filters=[("bucket", ">=", 10)]).count() == 8
+    tasks, _ = t.plan_files(filters=[("bucket", "=", 2)])
+    assert tasks and all(task.partition["bucket"] == 2 for task in tasks)
+    snap = t._resolve_snapshot()
+    _s, manifests = read_container_file(snap["manifest-list"])
+    summ = manifests[0]["partitions"][0]
+    assert decode_bound(summ["lower_bound"], "long") == 0
+    assert decode_bound(summ["upper_bound"], "long") == 11
+
+    path2 = str(tmp_path / "tbl_null")
+    df2 = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "a:b/c")], "id LONG, lang STRING"
+    )
+    write_iceberg(spark, df2, path2, partition_by="lang")
+    t2 = IcebergTable(path2)
+    got = {(r["id"], r["lang"]) for r in t2.scan(spark).collect()}
+    assert got == {(1, "en"), (2, None), (3, "a:b/c")}
+    snap2 = t2._resolve_snapshot()
+    _s2, mfs2 = read_container_file(snap2["manifest-list"])
+    assert mfs2[0]["partitions"][0]["contains_null"] is True
+    tasks2, _ = t2.plan_files(filters=[("lang", "=", "a:b/c")])
+    assert len(tasks2) == 1 and tasks2[0].partition["lang"] == "a:b/c"
+
+
 def test_iceberg_manifest_files_are_real_avro(table):
     """Manifests and manifest lists decode as spec-shaped Avro containers
     with the spec's field names (not JSON stand-ins)."""

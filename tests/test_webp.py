@@ -207,6 +207,93 @@ def test_decode_predictor_transform():
     assert np.array_equal(out, np.tile([5, 6, 7, 255], (2, 2, 1)))
 
 
+def test_decode_predictor_tr_rightmost_column():
+    """Mode 3 (TR) on the rightmost column: the spec's flat-array TR
+    (pos - width + 1) wraps to the CURRENT row's leftmost pixel, not the
+    previous row's (the r3 silent-corruption bug)."""
+    bw = BitWriterLSB()
+    _header(bw, 2, 2)
+    bw.write_bits(1, 1)  # a transform follows
+    bw.write_bits(0, 2)  # predictor
+    bw.write_bits(0, 3)  # size_bits - 2 = 0 -> 4x4 blocks -> 1x1 sub-image
+    bw.write_bits(0, 1)  # sub-image: no color cache
+    _write_channel_code(bw, {3: 1}, 280)  # mode 3 = TR
+    _write_channel_code(bw, {0: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 256)
+    _write_channel_code(bw, {255: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 40)
+    bw.write_bits(0, 1)  # end of transforms
+    bw.write_bits(0, 1)  # no cache
+    bw.write_bits(0, 1)  # no meta
+    # pixels: A=(10,20,30) B=(50,60,70) C=(1,2,3) D=C (zero residual vs TR)
+    # edge rules: A vs black, B vs L=A, C vs out[y-1,0]=A; D vs TR which
+    # MUST be C (current row leftmost) — the old bug predicted from A
+    g_res = [(20, 10, 30), ((60 - 20) & 0xFF, (50 - 10) & 0xFF, (70 - 30) & 0xFF),
+             ((2 - 20) & 0xFF, (1 - 10) & 0xFF, (3 - 30) & 0xFF), (0, 0, 0)]
+    gt = _write_channel_code(bw, {v[0]: 1 for v in g_res}, 280)
+    rt = _write_channel_code(bw, {v[1]: 1 for v in g_res}, 256)
+    bt = _write_channel_code(bw, {v[2]: 1 for v in g_res}, 256)
+    _write_channel_code(bw, {0: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 40)
+    for gg, rr, bb in g_res:
+        c, l = gt[gg]; bw.write_code(c, l)
+        c, l = rt[rr]; bw.write_code(c, l)
+        c, l = bt[bb]; bw.write_code(c, l)
+    out = decode_webp(_wrap(bw))
+    assert np.array_equal(out[0, 0], [10, 20, 30, 255])
+    assert np.array_equal(out[0, 1], [50, 60, 70, 255])
+    assert np.array_equal(out[1, 0], [1, 2, 3, 255])
+    assert np.array_equal(out[1, 1], [1, 2, 3, 255])  # == C, not A
+
+
+def test_decode_predictor_mode13_truncates_toward_zero():
+    """ClampAddSubtractHalf: (a - TL) / 2 is C truncation toward zero —
+    a=100, TL=105 gives 100 + trunc(-5/2) = 98, not floor's 97."""
+    bw = BitWriterLSB()
+    _header(bw, 2, 2)
+    bw.write_bits(1, 1)
+    bw.write_bits(0, 2)  # predictor
+    bw.write_bits(0, 3)
+    bw.write_bits(0, 1)
+    _write_channel_code(bw, {13: 1}, 280)  # mode 13
+    _write_channel_code(bw, {0: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 256)
+    _write_channel_code(bw, {255: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 40)
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 1)
+    # (0,0)=105 vs black; (0,1)=100 vs L; (1,0)=100 vs out[0,0]; (1,1)
+    # residual 0 vs mode-13 pred: a=avg2(100,100)=100, TL=105 -> 98
+    res = [105, 251, 251, 0]  # same residual per r/g/b channel
+    gt = _write_channel_code(bw, {105: 1, 251: 2, 0: 1}, 280)
+    rt = _write_channel_code(bw, {105: 1, 251: 2, 0: 1}, 256)
+    bt = _write_channel_code(bw, {105: 1, 251: 2, 0: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 40)
+    for v in res:
+        for tab in (gt, rt, bt):
+            c, l = tab[v]; bw.write_code(c, l)
+    out = decode_webp(_wrap(bw))
+    assert np.array_equal(out[1, 1], [98, 98, 98, 255])
+
+
+def test_decode_vp8x_with_lossless_payload():
+    """VP8X (extended header, how libwebp writes lossless+metadata files)
+    must not be rejected: scan on and decode the VP8L chunk."""
+    import struct
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    plain = encode_webp(img)
+    vp8l_size = struct.unpack("<I", plain[16:20])[0]
+    vp8l_chunk = plain[12 : 20 + vp8l_size + (vp8l_size & 1)]
+    vp8x_body = bytes([0x00, 0, 0, 0]) + b"\x05\x00\x00" + b"\x03\x00\x00"  # 6x4
+    content = b"WEBP" + b"VP8X" + struct.pack("<I", len(vp8x_body)) + vp8x_body + vp8l_chunk
+    payload = b"RIFF" + struct.pack("<I", len(content)) + content
+    assert np.array_equal(decode_webp(payload), _rgba(img))
+
+
 def test_decode_rejects_garbage_and_lossy():
     with pytest.raises(ValueError):
         decode_webp(b"nonsense")
