@@ -548,7 +548,9 @@ def _q_knn_label_accuracy(spark, sf_dir):
         F.col("label").alias("true_label"),
     )
     cand = base.crossJoin(F.broadcast(q)).filter(F.col("item_id") != F.col("query_id"))
-    cand = cand.withColumn("sim", cosine_sim(F.col("vec"), F.col("qvec")))
+    # round to 9 before ranking: a cross-engine ulp on a near-tie must not
+    # flip row_number (the oracle rounds identically)
+    cand = cand.withColumn("sim", F.round(cosine_sim(F.col("vec"), F.col("qvec")), 9))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
     top = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
     votes = top.groupBy("query_id", "true_label", "item_label").agg(
@@ -580,7 +582,8 @@ def _q_ann_cosine(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("query_vec")
     )
     cand = base.crossJoin(F.broadcast(queries_df)).filter(F.col("item_id") != F.col("query_id"))
-    cand = cand.withColumn("sim", cosine_sim(F.col("item_vec"), F.col("query_vec")))
+    # round to 9 before ranking (float-ordering robustness; oracle twins it)
+    cand = cand.withColumn("sim", F.round(cosine_sim(F.col("item_vec"), F.col("query_vec")), 9))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -692,7 +695,10 @@ def _q_ann_ivf(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qvec")
     )
-    out = ann_ivf(base, queries_df, n_centroids=16, nprobe=4, k=5, kmeans_iters=2)
+    out = ann_ivf(
+        base, queries_df, n_centroids=16, nprobe=4, k=5, kmeans_iters=2,
+        train_sample_mod=4,
+    )
     return out.select("query_id", "item_id", "rank", F.round("sim", 6).alias("sim"))
 
 
@@ -724,6 +730,7 @@ def _q_knn_label_accuracy_ivf(spark, sf_dir):
         nprobe=4,
         k=5,
         kmeans_iters=2,
+        train_sample_mod=4,
     ).select("query_id", "item_id")
 
     # vote tail — identical to knn_label_accuracy
@@ -750,7 +757,7 @@ def _q_knn_label_accuracy_ivf(spark, sf_dir):
         F.broadcast(q.select("query_id", "qvec"))
     ).filter(F.col("item_id") != F.col("query_id"))
     wbf = Window.partitionBy("query_id").orderBy(
-        cosine_sim(F.col("vec"), F.col("qvec")).desc(), F.col("item_id").asc()
+        F.round(cosine_sim(F.col("vec"), F.col("qvec")), 9).desc(), F.col("item_id").asc()
     )
     bf_top = (
         cand.withColumn("rn", F.row_number().over(wbf))
@@ -1396,8 +1403,185 @@ def _q_rollup_events(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# consolidated driver gates (round 4): the driver's correctness window
+# records at most 50 queries() entries — redundant variants that share an
+# oracle are unioned into ONE gate with a tag column, so every operator
+# keeps a driver-green row while the dict stays under the cap (r3's five
+# tail gates were silently truncated out of the record). bench.py still
+# times the variants individually via bench_queries().
+# ---------------------------------------------------------------------------
+
+
+def _q_pip_assign_all(spark, sf_dir):
+    """J2 flagship PIP, all three strategies in one gate (broadcast /
+    salted skew-kill / all-JVM): identical result by construction, so the
+    union against one oracle cross-joined with the strategy tags proves
+    each variant separately — a divergence in any one breaks the hash."""
+    out = None
+    for tag, fn in (
+        ("broadcast", _q_pip_assign),
+        ("salted", _q_pip_assign_salted),
+        ("jvm", _q_pip_assign_jvm),
+    ):
+        df = fn(spark, sf_dir).select(
+            F.lit(tag).alias("strategy"), "feature_id", "n_pages", "n_urls"
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _q_knn_all(spark, sf_dir):
+    """J8 kNN, brute-force oracle plan + exact distributed cell plan in
+    one gate (same 651-row result, tagged per strategy)."""
+    a = _q_knn(spark, sf_dir).select(
+        F.lit("brute").alias("strategy"), "url", "feature_id", "rank", "dist_deg"
+    )
+    b = _q_knn_cells(spark, sf_dir).select(
+        F.lit("cells").alias("strategy"), "url", "feature_id", "rank", "dist_deg"
+    )
+    return a.unionByName(b)
+
+
+def _q_iceberg_travel(spark, sf_dir):
+    """Snapshot-1 time travel + incremental (CDC) append scan in one gate:
+    mode='snapshot1' pins the pre-append half per lang (edge = max
+    doc_id), mode='appended' pins exactly the appended half (edge = min
+    doc_id) — never re-reading snapshot 1's files."""
+    from robosat_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(_iceberg_documents_path(spark, sf_dir))
+    tt = (
+        t.scan(spark, snapshot_id=1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("edge_doc_id"))
+        .select(F.lit("snapshot1").alias("mode"), "lang", "n_docs", "edge_doc_id")
+    )
+    inc = (
+        t.scan_incremental(spark, from_snapshot_id=1, to_snapshot_id=2)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("edge_doc_id"))
+        .select(F.lit("appended").alias("mode"), "lang", "n_docs", "edge_doc_id")
+    )
+    return tt.unionByName(inc)
+
+
+def _q_fingerprint_all(spark, sf_dir):
+    """Per-doc exact-dup md5 fingerprint + winnowing rolling-hash
+    fingerprint in one gate (equi-join on doc_id)."""
+    md5s = _q_fingerprint(spark, sf_dir)
+    roll = _q_doc_fingerprint_rolling(spark, sf_dir).withColumnRenamed("fp", "fp_roll")
+    return md5s.join(roll, "doc_id")
+
+
+def _q_cell_encode_all(spark, sf_dir):
+    """Cell-id family in one gate: packed tile id, Bing quadkey, Morton
+    Z-code AND the H3-style axial hex cell per geotagged page — all
+    unrolled JVM bit/trig arithmetic, one scan."""
+    from robosat_spark.functions.tiles import (
+        hex_cell,
+        morton_cell,
+        quadkey,
+        unpack_tile_x,
+        unpack_tile_y,
+    )
+    from robosat_spark.operators.spatial_join import geotagged_points
+    from robosat_spark.sources.pages import pages_from_events
+
+    pts = geotagged_points(pages_from_events(spark, sf_dir), zoom=12)
+    x = unpack_tile_x(F.col("tile_id"))
+    y = unpack_tile_y(F.col("tile_id"))
+    return pts.select(
+        "url",
+        "tile_id",
+        quadkey(x, y, 12).alias("qk"),
+        morton_cell(x, y, 12).alias("morton"),
+        hex_cell(F.col("lon"), F.col("lat"), 10_000.0).alias("hex_id"),
+    )
+
+
+def _q_text_metrics(spark, sf_dir):
+    """Per-doc text-analysis suite in one gate: token/subword counts,
+    punct/alpha ratios (token_stats), stopword ratio + composite quality
+    (quality_score), and shingle repetition (repetition_stats) — all
+    whole-stage-codegen column expressions over ONE documents scan."""
+    from robosat_spark.functions.text import (
+        alpha_ratio,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        subword_count,
+        token_count,
+    )
+    from robosat_spark.operators.dedup import word_shingles, words
+
+    docs = _t(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    total = F.greatest(F.size(w) - F.lit(2), F.lit(1))
+    distinct = F.size(word_shingles(F.col("text"), 3))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        subword_count(F.col("text")).alias("n_subwords"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct"),
+        F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6).alias(
+            "rep_ratio"
+        ),
+    )
+
+
+def _q_iceberg_scan_distributed(spark, sf_dir):
+    """The 100x-scale manifest-planning path, value-gated (round-3 review
+    item): executor-side Avro manifest fan-out (scan_manifests_distributed,
+    sources/iceberg.py) plans the file list as a DataFrame; reading those
+    files with the lang='en' predicate re-applied must equal the plain
+    documents truth — the SAME oracle as the driver-side planner's
+    iceberg_scan, pinning the two planners to each other."""
+    from robosat_spark.sources.avro_codec import read_container_file
+    from robosat_spark.sources.iceberg import (
+        IcebergTable,
+        scan_manifests_distributed,
+        spark_schema_ddl,
+    )
+
+    t = IcebergTable(_iceberg_documents_path(spark, sf_dir))
+    snap = t._resolve_snapshot()
+    _s, manifests = read_container_file(snap["manifest-list"])
+    files = scan_manifests_distributed(spark, [m["manifest_path"] for m in manifests])
+    paths = sorted(r["file_path"] for r in files.select("file_path").distinct().collect())
+    df = spark.read.schema(spark_schema_ddl(t.schema_fields)).parquet(*paths)
+    return (
+        df.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # 47 entries (driver records the first 50): never-driver-verified and
+    # new gates lead; consolidated gates carry the variant coverage
     return {
+        # r3's truncated tail — first so they can never fall out again
+        "halo_stitch": _q_halo_stitch,
+        "class_weights": _q_class_weights,
+        "seg_metrics": _q_seg_metrics,
+        "feature_merge": _q_feature_merge,
+        "dedupe_iou": _q_dedupe_iou,
+        # new r4 gate
+        "iceberg_scan_distributed": _q_iceberg_scan_distributed,
+        # consolidated variant gates
+        "pip_assign": _q_pip_assign_all,
+        "knn": _q_knn_all,
+        "iceberg_time_travel": _q_iceberg_travel,
+        "fingerprint": _q_fingerprint_all,
+        "cell_encode": _q_cell_encode_all,
+        "text_metrics": _q_text_metrics,
+        # the rest (unchanged semantics)
         "pricing_summary": _q_pricing_summary,
         "market_join": _q_market_join,
         "semi_join": _q_semi_join,
@@ -1416,44 +1600,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_encode": _q_tile_encode,
         "tile_adjacency": _q_tile_adjacency,
         "morton_bbox": _q_morton_bbox,
-        "cell_encode": _q_cell_encode,
-        "hex_encode": _q_hex_encode,
         "tile_pyramid_rollup": _q_tile_pyramid_rollup,
-        "pip_assign": _q_pip_assign,
-        "knn": _q_knn,
-        "knn_cells": _q_knn_cells,
         "dedup_exact": _q_dedup_exact,
-        "fingerprint": _q_fingerprint,
-        "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
         "knn_label_accuracy": _q_knn_label_accuracy,
         "ann_cosine": _q_ann_cosine,
-        "pip_assign_salted": _q_pip_assign_salted,
-        "pip_assign_jvm": _q_pip_assign_jvm,
         "cover": _q_cover,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
         "iceberg_scan": _q_iceberg_scan,
-        "iceberg_time_travel": _q_iceberg_time_travel,
-        "iceberg_incremental": _q_iceberg_incremental,
         "iceberg_pages_pip": _q_iceberg_pages_pip,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "ann_ivf": _q_ann_ivf,
         "knn_label_accuracy_ivf": _q_knn_label_accuracy_ivf,
-        "quality_score": _q_quality_score,
         "road_widths": _q_road_widths,
-        "repetition_stats": _q_repetition_stats,
         "top_tokens": _q_top_tokens,
-        "doc_fingerprint_rolling": _q_doc_fingerprint_rolling,
         "mask_vectorize": _q_mask_vectorize,
-        "halo_stitch": _q_halo_stitch,
-        "class_weights": _q_class_weights,
-        "seg_metrics": _q_seg_metrics,
-        "feature_merge": _q_feature_merge,
-        "dedupe_iou": _q_dedupe_iou,
     }
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Granular per-variant queries for bench.py: the consolidated driver
+    gates union several plans, which would blur per-plan walls — the bench
+    keeps timing each variant under its historical name so per-query
+    numbers stay diffable round-over-round."""
+    qs = dict(queries())
+    qs.update(
+        {
+            "pip_assign": _q_pip_assign,
+            "pip_assign_salted": _q_pip_assign_salted,
+            "pip_assign_jvm": _q_pip_assign_jvm,
+            "knn": _q_knn,
+            "knn_cells": _q_knn_cells,
+            "iceberg_time_travel": _q_iceberg_time_travel,
+            "iceberg_incremental": _q_iceberg_incremental,
+            "fingerprint": _q_fingerprint,
+            "doc_fingerprint_rolling": _q_doc_fingerprint_rolling,
+            "cell_encode": _q_cell_encode,
+            "hex_encode": _q_hex_encode,
+            "token_stats": _q_token_stats,
+            "quality_score": _q_quality_score,
+            "repetition_stats": _q_repetition_stats,
+        }
+    )
+    return qs
 
 
 # ---------------------------------------------------------------------------
@@ -1693,11 +1885,15 @@ def oracle_sql() -> dict[str, str]:
             e = f"(({e} | ({e} << {shift})) & {mask})"
         return e
 
+    from robosat_spark.functions.tiles import hex_cell_sql
+
+    # consolidated gate: slippy pack + quadkey + Morton + H3-style hex cell
     sql["cell_encode"] = f"""
         SELECT url, ((CAST(12 AS BIGINT) << 58) | (tx << 29) | ty) AS tile_id,
                {qk_digits} AS qk,
-               ({spread_sql("tx")} | ({spread_sql("ty")} << 1)) AS morton
-        FROM (SELECT url, {tx12} AS tx, {ty12} AS ty
+               ({spread_sql("tx")} | ({spread_sql("ty")} << 1)) AS morton,
+               {hex_cell_sql(10_000.0)} AS hex_id
+        FROM (SELECT url, lon, lat, {tx12} AS tx, {ty12} AS ty
               FROM ({_PAGES}) WHERE lon IS NOT NULL AND lat IS NOT NULL)
     """
 
@@ -1715,28 +1911,27 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 8, x >> 4, y >> 4, CAST(SUM(n) AS BIGINT) FROM base GROUP BY 2, 3
     """
 
-    from robosat_spark.functions.tiles import hex_cell_sql
-
-    sql["hex_encode"] = f"""
-        SELECT {hex_cell_sql(10_000.0)} AS hex_id, COUNT(*) AS n_pages
-        FROM ({_PAGES}) WHERE lon IS NOT NULL AND lat IS NOT NULL
-        GROUP BY 1
-    """
-
     rect_cases = " ".join(
         f"WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} THEN {fid}"
         for fid, x0, y0, x1, y1 in ORACLE_RECTS
     )
-    sql["pip_assign"] = f"""
+    _pip_base = f"""
         SELECT feature_id, COUNT(*) AS n_pages, COUNT(DISTINCT url) AS n_urls
         FROM (SELECT url, CASE {rect_cases} ELSE NULL END AS feature_id
               FROM ({_PAGES}) WHERE lon IS NOT NULL AND lat IS NOT NULL)
         WHERE feature_id IS NOT NULL
         GROUP BY feature_id
     """
+    # consolidated gate: one truth x 3 strategy tags — a divergence in any
+    # Spark variant breaks the union's hash
+    sql["pip_assign"] = f"""
+        SELECT s.strategy, o.feature_id, o.n_pages, o.n_urls
+        FROM ({_pip_base}) o
+        CROSS JOIN (VALUES ('broadcast'), ('salted'), ('jvm')) s(strategy)
+    """
 
     cent_rows = ", ".join(f"({fid}, {cx!r}, {cy!r})" for fid, cx, cy in rect_centroids_vertexmean())
-    sql["knn"] = f"""
+    _knn_base = f"""
         WITH pts AS (
           SELECT url, lon, lat FROM ({_PAGES})
           WHERE lon IS NOT NULL AND lat IS NOT NULL
@@ -1754,6 +1949,11 @@ def oracle_sql() -> dict[str, str]:
               FROM cand)
         WHERE rank <= 3
     """
+    sql["knn"] = f"""
+        SELECT s.strategy, o.url, o.feature_id, o.rank, o.dist_deg
+        FROM ({_knn_base}) o
+        CROSS JOIN (VALUES ('brute'), ('cells')) s(strategy)
+    """
 
     sql["dedup_exact"] = """
         SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key,
@@ -1762,22 +1962,8 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
 
-    sql["fingerprint"] = """
+    _fp_md5 = """
         SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents
-    """
-
-    sql["token_stats"] = r"""
-        SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
-               ROUND(CASE WHEN length(text) > 0
-                     THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
-                     ELSE 0.0 END, 6) AS punct_ratio,
-               ROUND(CASE WHEN length(text) > 0
-                     THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
-                     ELSE 0.0 END, 6) AS alpha_ratio
-        FROM documents
     """
 
     # lang_id: mirror the argmax-with-first-wins tie-break
@@ -1814,7 +2000,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT query_id, true_label, item_label FROM (
             SELECT q.query_id, q.true_label, b.item_label,
                    ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                      ORDER BY {cosine_sim_sql("b.vec", "q.qvec")} DESC,
+                                      ORDER BY ROUND({cosine_sim_sql("b.vec", "q.qvec")}, 9) DESC,
                                                b.item_id ASC) AS rn
             FROM base b CROSS JOIN q WHERE b.item_id != q.query_id)
           WHERE rn <= 5),
@@ -1834,12 +2020,9 @@ def oracle_sql() -> dict[str, str]:
         FROM pred
     """
 
-    sql["pip_assign_salted"] = sql["pip_assign"]
-    sql["pip_assign_jvm"] = sql["pip_assign"]
     # the Iceberg table holds exactly the pages_from_events rows, so the
     # storage path must not change the flagship result
-    sql["iceberg_pages_pip"] = sql["pip_assign"]
-    sql["knn_cells"] = sql["knn"]
+    sql["iceberg_pages_pip"] = _pip_base
 
     tx_a, _, _ = _tile_sql(10, lon="x0")
     tx_b, _, _ = _tile_sql(10, lon="x1")
@@ -1880,14 +2063,6 @@ def oracle_sql() -> dict[str, str]:
     """
 
     wsql = r"regexp_split_to_array(trim(text), '\s+')"
-    sql["repetition_stats"] = f"""
-        SELECT doc_id,
-               GREATEST(len({wsql}) - 2, 1) AS n_shingles,
-               len({shg}) AS n_distinct,
-               ROUND(1.0 - CAST(len({shg}) AS DOUBLE)
-                         / CAST(GREATEST(len({wsql}) - 2, 1) AS DOUBLE), 6) AS rep_ratio
-        FROM documents
-    """
 
     sql["top_tokens"] = r"""
         SELECT token, n, rank FROM (
@@ -2045,17 +2220,18 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE lang = 'en' GROUP BY source
     """
     sql["iceberg_time_travel"] = """
-        SELECT lang, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc_id
+        SELECT 'snapshot1' AS mode, lang, COUNT(*) AS n_docs, MAX(doc_id) AS edge_doc_id
         FROM documents
         WHERE doc_id <= (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 FROM documents)
         GROUP BY lang
-    """
-    sql["iceberg_incremental"] = """
-        SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        UNION ALL
+        SELECT 'appended' AS mode, lang, COUNT(*) AS n_docs, MIN(doc_id) AS edge_doc_id
         FROM documents
         WHERE doc_id > (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 FROM documents)
         GROUP BY lang
     """
+    # the distributed manifest planner must see exactly the same table
+    sql["iceberg_scan_distributed"] = sql["iceberg_scan"]
 
     # mask_vectorize / halo_stitch: per-tile polygon counts and halo
     # nonzero counts pinned to the ANALYTIC constants of the axis-aligned
@@ -2076,10 +2252,10 @@ def oracle_sql() -> dict[str, str]:
         FROM (VALUES {_halo_vals}) AS t(x, y, nz)
     """
 
-    # doc_fingerprint_rolling: the kernel is a min over 64-codepoint-window
+    # rolling fingerprint: the kernel is a min over 64-codepoint-window
     # polynomial hashes mod 2^61-1 base 257 — brute-force replay per window
     # with list lambdas (HUGEINT accumulator: 61-bit * 257 overflows BIGINT)
-    sql["doc_fingerprint_rolling"] = r"""
+    _fp_roll = r"""
         WITH cps AS (
           SELECT doc_id,
                  list_transform(regexp_extract_all(text, '.', 0, 's'), c -> ord(c)) AS cp
@@ -2103,23 +2279,34 @@ def oracle_sql() -> dict[str, str]:
                END AS BIGINT) AS fp
         FROM cps
     """
+    # consolidated gate: md5 exact-dup key + winnowing rolling hash per doc
+    sql["fingerprint"] = f"""
+        SELECT a.doc_id, a.fp, b.fp AS fp_roll
+        FROM ({_fp_md5}) a JOIN ({_fp_roll}) b USING (doc_id)
+    """
 
     # IVF family: the CTE chain replays operators.ann.kmeans_centroids +
     # the final assignment with the IDENTICAL fold order (cosine folds and
-    # member-mean folds verified bit-exact vs the Spark plans), so the
-    # quantizer, probes, and candidate sims need no rounding slack.
-    def _ivf_ctes(n_centroids: int = 16, iters: int = 2, dim: int = 64) -> str:
-        cos_bc = cosine_sim_sql("b.v", "c.cvec")
+    # member-mean folds verified bit-exact vs the Spark plans). Since r4
+    # the quantizer trains on the deterministic item_id % 4 == 0 SAMPLE
+    # (structural bound on the ordered member fold) and every ranking sim
+    # is ROUND(..., 9) on both engines before ROW_NUMBER.
+    def _ivf_ctes(
+        n_centroids: int = 16, iters: int = 2, dim: int = 64, train_mod: int = 4
+    ) -> str:
+        cos_bc = f"ROUND({cosine_sim_sql('b.v', 'c.cvec')}, 9)"
         ctes = [
             "base AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-            f"cents_0 AS (SELECT item_id AS centroid_id, v AS cvec FROM base WHERE item_id < {n_centroids})",
+            f"train AS (SELECT item_id, v FROM base WHERE item_id % {train_mod} = 0)",
+            f"cents_0 AS (SELECT item_id AS centroid_id, v AS cvec FROM train "
+            f"ORDER BY item_id LIMIT {n_centroids})",
         ]
         for t in range(1, iters + 1):
             ctes.append(
                 f"asg_{t} AS (SELECT item_id, v, centroid_id FROM ("
                 f"SELECT b.item_id, b.v, c.centroid_id, "
                 f"ROW_NUMBER() OVER (PARTITION BY b.item_id ORDER BY {cos_bc} DESC, "
-                f"c.centroid_id ASC) AS rn FROM base b CROSS JOIN cents_{t - 1} c) WHERE rn = 1)"
+                f"c.centroid_id ASC) AS rn FROM train b CROSS JOIN cents_{t - 1} c) WHERE rn = 1)"
             )
             ctes.append(
                 f"upd_{t} AS (SELECT centroid_id, list(v ORDER BY item_id) AS vs, "
@@ -2141,9 +2328,9 @@ def oracle_sql() -> dict[str, str]:
         )
         return ",\n        ".join(ctes)
 
-    _cos_qc = cosine_sim_sql("q.qvec", "c.cvec")
-    _cos_aq = cosine_sim_sql("a.v", "p.qvec")
-    _cos_bq = cosine_sim_sql("b.v", "q.qvec")
+    _cos_qc = f"ROUND({cosine_sim_sql('q.qvec', 'c.cvec')}, 9)"
+    _cos_aq = f"ROUND({cosine_sim_sql('a.v', 'p.qvec')}, 9)"
+    _cos_bq = f"ROUND({cosine_sim_sql('b.v', 'q.qvec')}, 9)"
     sql["ann_ivf"] = f"""
         WITH {_ivf_ctes()},
         q AS (SELECT item_id AS query_id, v AS qvec FROM base WHERE item_id < 3),
@@ -2236,11 +2423,22 @@ def oracle_sql() -> dict[str, str]:
         "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) "
         "ELSE 0.0 END"
     )
-    sql["quality_score"] = f"""
-        SELECT doc_id, ROUND({stop_ratio}, 6) AS stop_ratio,
+    # consolidated gate: token_stats + quality_score + repetition_stats
+    # columns over one documents scan (identical expressions per column)
+    sql["text_metrics"] = f"""
+        SELECT doc_id,
+               {toks} AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+               ROUND({punct}, 6) AS punct_ratio,
+               ROUND({alpha}, 6) AS alpha_ratio,
+               ROUND({stop_ratio}, 6) AS stop_ratio,
                ROUND((LEAST(length(text) / 1000.0, 1.0) + ({alpha})
                       + (1.0 - LEAST(({punct}) * 4.0, 1.0))
-                      + LEAST(({stop_ratio}) * 5.0, 1.0)) / 4.0, 6) AS quality
+                      + LEAST(({stop_ratio}) * 5.0, 1.0)) / 4.0, 6) AS quality,
+               GREATEST(len({wsql}) - 2, 1) AS n_shingles,
+               len({shg}) AS n_distinct,
+               ROUND(1.0 - CAST(len({shg}) AS DOUBLE)
+                         / CAST(GREATEST(len({wsql}) - 2, 1) AS DOUBLE), 6) AS rep_ratio
         FROM documents
     """
 
@@ -2250,9 +2448,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, item_id, rank, ROUND(sim, 6) AS sim
         FROM (
           SELECT q.vec_id AS query_id, e.vec_id AS item_id,
-                 {_css("e.v", "q.v")} AS sim,
+                 ROUND({_css("e.v", "q.v")}, 9) AS sim,
                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                    ORDER BY {_css("e.v", "q.v")} DESC, e.vec_id ASC) AS rank
+                                    ORDER BY ROUND({_css("e.v", "q.v")}, 9) DESC, e.vec_id ASC) AS rank
           FROM base e CROSS JOIN (SELECT * FROM base WHERE vec_id < 3) q
           WHERE e.vec_id != q.vec_id
         )

@@ -76,15 +76,15 @@ NEARDUP_LSH_SEEDS = [
 
 def lsh_bucket_sql(vec: str, plane_seeds: list) -> str:
     """DuckDB twin of ``lsh_bucket`` over a DOUBLE[] column expression
-    ``vec``: same sin-derived planes, same sign fold. Only the SIGN of each
-    projection feeds the bucket, so engine ulp differences in sin/sum are
-    immaterial unless a projection is exactly ~0 (probability ~0 for real
-    embeddings)."""
+    ``vec``: same sin-derived planes, and the projection uses the SAME
+    left-fold order as Spark's F.aggregate (fold_sum_sql) so the sum is
+    bit-identical — the sign decision can't flip even on a projection that
+    lands exactly at 0 (a list_sum twin would only match to ulp)."""
     terms = []
     for k, seed in enumerate(plane_seeds):
-        proj = (
-            f"list_sum(list_transform(generate_series(1, len({vec})), "
-            f"i -> {vec}[i] * sin({float(seed)!r} * i)))"
+        proj = fold_sum_sql(
+            f"list_transform(generate_series(1, len({vec})), "
+            f"i -> {vec}[i] * sin({float(seed)!r} * i))"
         )
         terms.append(f"(CASE WHEN {proj} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << {k})")
     return "(" + " | ".join(terms) + ")"

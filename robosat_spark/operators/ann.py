@@ -70,30 +70,47 @@ def lsh_neardup_pairs(
 
 
 def kmeans_centroids(
-    base: DataFrame, n_centroids: int = 16, iters: int = 2
+    base: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    train_sample_mod: int = 1,
 ) -> DataFrame:
     """-> (centroid_id, cvec): fixed-iteration deterministic Lloyd's.
 
-    Init = the first ``n_centroids`` vectors by id. Each iteration assigns
-    every vector to its max-cosine centroid (ties -> lowest centroid id)
-    and recomputes each centroid as the element-wise mean of its members,
-    FOLDED IN item_id ORDER (sort_array(collect_list) + F.aggregate): the
-    mean is bit-reproducible run-to-run AND replayable in SQL — the DuckDB
-    oracle rebuilds the identical centroids with
-    ``list(v ORDER BY item_id)`` + ``list_reduce`` (verified bit-exact).
-    Empty clusters keep their previous centroid.
+    ``train_sample_mod`` caps the TRAINING set deterministically: the
+    quantizer trains only on items with ``item_id % mod == 0`` (the
+    downstream full-corpus assign is unaffected). This structurally bounds
+    the per-cluster ordered fold below — the quantizer can no longer be
+    pointed at a full corpus by accident — and trims the quantizer-build
+    wall (a coarse quantizer needs a sample, not the corpus).
+
+    Init = the first ``n_centroids`` sample vectors by id. Each iteration
+    assigns every sample vector to its max-cosine centroid (sims ROUNDED
+    to 9 decimals before ranking so a cross-engine ulp on a near-tie can't
+    flip the assignment; ties -> lowest centroid id) and recomputes each
+    centroid as the element-wise mean of its members, FOLDED IN item_id
+    ORDER (sort_array(collect_list) + F.aggregate): the mean is
+    bit-reproducible run-to-run AND replayable in SQL — the DuckDB oracle
+    rebuilds the identical centroids with ``list(v ORDER BY item_id)`` +
+    ``list_reduce`` (verified bit-exact). Empty clusters keep their
+    previous centroid.
 
     Scale note: the ordered fold collects one cluster's members into a
-    single row — fine for the coarse-quantizer training SAMPLE it is meant
-    for (k-means over 10^5-10^6 sampled vectors; the full-corpus ASSIGN
-    step stays a broadcast join). An order-insensitive tree aggregation
-    would scale further but loses cross-engine bit-parity."""
-    cents = base.filter(F.col("item_id") < n_centroids).select(
+    single row — bounded by the training sample (k-means over 10^5-10^6
+    sampled vectors; the full-corpus ASSIGN step stays a broadcast join).
+    An order-insensitive tree aggregation would scale further but loses
+    cross-engine bit-parity."""
+    train = (
+        base if train_sample_mod <= 1
+        else base.filter(F.col("item_id") % train_sample_mod == 0)
+    )
+    # TakeOrderedAndProject: each partition keeps n, driver merges n·p rows
+    cents = train.orderBy("item_id").limit(n_centroids).select(
         F.col("item_id").alias("centroid_id"), F.col("vec").alias("cvec")
     )
     for _ in range(iters):
-        scored = base.crossJoin(F.broadcast(cents)).withColumn(
-            "csim", cosine_sim(F.col("vec"), F.col("cvec"))
+        scored = train.crossJoin(F.broadcast(cents)).withColumn(
+            "csim", F.round(cosine_sim(F.col("vec"), F.col("cvec")), 9)
         )
         w = Window.partitionBy("item_id").orderBy(
             F.col("csim").desc(), F.col("centroid_id").asc()
@@ -128,25 +145,29 @@ def kmeans_centroids(
 
 
 def ivf_assign(
-    base: DataFrame, n_centroids: int = 16, kmeans_iters: int = 0
+    base: DataFrame,
+    n_centroids: int = 16,
+    kmeans_iters: int = 0,
+    train_sample_mod: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (centroids, assigned): deterministic IVF build.
 
     ``base``: (item_id LONG, vec ARRAY<DOUBLE>). ``kmeans_iters=0`` keeps
     the k-means-free quantizer (centroids = first ``n_centroids`` vectors
     by id); ``kmeans_iters>0`` refines them with :func:`kmeans_centroids`
-    (better-balanced cells -> higher recall at equal nprobe; recall is
-    quantified against the first-N quantizer in tests/test_dedup_ann.py).
-    Every item is assigned to its max-cosine centroid (ties -> lowest
-    centroid id)."""
+    over the deterministic ``train_sample_mod`` sample (better-balanced
+    cells -> higher recall at equal nprobe; recall is quantified against
+    the first-N quantizer in tests/test_dedup_ann.py). Every item is
+    assigned to its max-cosine centroid (sims rounded to 9 decimals before
+    ranking; ties -> lowest centroid id)."""
     if kmeans_iters > 0:
-        centroids = kmeans_centroids(base, n_centroids, kmeans_iters)
+        centroids = kmeans_centroids(base, n_centroids, kmeans_iters, train_sample_mod)
     else:
         centroids = base.filter(F.col("item_id") < n_centroids).select(
             F.col("item_id").alias("centroid_id"), F.col("vec").alias("cvec")
         )
     scored = base.crossJoin(F.broadcast(centroids)).withColumn(
-        "csim", cosine_sim(F.col("vec"), F.col("cvec"))
+        "csim", F.round(cosine_sim(F.col("vec"), F.col("cvec")), 9)
     )
     w = Window.partitionBy("item_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
     assigned = (
@@ -176,7 +197,7 @@ def ann_ivf_from_index(
     the tiny centroid table; the ``centroid_id IN (...)`` filter prunes the
     index scan to the probed partitions."""
     qprobe = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "csim", cosine_sim(F.col("qvec"), F.col("cvec"))
+        "csim", F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 9)
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
     probes = (
@@ -187,7 +208,7 @@ def ann_ivf_from_index(
     cand = (
         index.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("item_id") != F.col("query_id"))
-        .withColumn("sim", cosine_sim(F.col("vec"), F.col("qvec")))
+        .withColumn("sim", F.round(cosine_sim(F.col("vec"), F.col("qvec")), 9))
     )
     wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
     return (
@@ -204,14 +225,16 @@ def ann_ivf(
     nprobe: int = 4,
     k: int = 5,
     kmeans_iters: int = 0,
+    train_sample_mod: int = 1,
 ) -> DataFrame:
     """-> (query_id, item_id, rank, sim): top-k by cosine among the items
     assigned to the query's ``nprobe`` nearest centroids (self-matches
-    excluded). ``queries``: (query_id LONG, qvec ARRAY<DOUBLE>)."""
-    centroids, assigned = ivf_assign(base, n_centroids, kmeans_iters)
+    excluded; all rank orderings on sims rounded to 9 decimals).
+    ``queries``: (query_id LONG, qvec ARRAY<DOUBLE>)."""
+    centroids, assigned = ivf_assign(base, n_centroids, kmeans_iters, train_sample_mod)
 
     qprobe = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "csim", cosine_sim(F.col("qvec"), F.col("cvec"))
+        "csim", F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 9)
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
     probes = (
@@ -226,7 +249,7 @@ def ann_ivf(
         # this probe join also prunes partitions
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("item_id") != F.col("query_id"))
-        .withColumn("sim", cosine_sim(F.col("vec"), F.col("qvec")))
+        .withColumn("sim", F.round(cosine_sim(F.col("vec"), F.col("qvec")), 9))
     )
     wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
     return (

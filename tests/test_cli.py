@@ -183,5 +183,14 @@ def test_cli_serve_http_roundtrip(spark, tmp_path):
     except urllib.error.HTTPError as e:
         status = e.code
     t2.join(timeout=60)
+
+    # map preview page at / (reference parity: serve.py renders map.html):
+    # HTML wiring the local /z/x/y.png layer into a Leaflet map
+    t3 = threading.Thread(target=srv.handle_request)
+    t3.start()
+    page = urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=30).read().decode()
+    t3.join(timeout=60)
     srv.server_close()
     assert status == 404
+    assert "/{z}/{x}/{y}.png" in page and "leaflet" in page.lower()
+    assert "L.map(" in page
