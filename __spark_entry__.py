@@ -1535,6 +1535,63 @@ def _q_text_metrics(spark, sf_dir):
     )
 
 
+def _iceberg_deleted_documents_path(spark, sf_dir: str) -> str:
+    """Build-once Iceberg table over ``documents`` with a POSITION-DELETE
+    snapshot tombstoning ``doc_id % 7 == 0`` — the v2 merge-on-read
+    row-level delete surface under a value gate."""
+    import hashlib
+    import os
+    import tempfile
+
+    from robosat_spark.sources.iceberg import current_version, delete_rows, write_iceberg
+
+    doc_dir = os.path.join(sf_dir, "documents.parquet")
+    st_parts = []
+    for p in ([doc_dir] if os.path.isfile(doc_dir) else sorted(
+        os.path.join(doc_dir, f) for f in os.listdir(doc_dir) if f.endswith(".parquet")
+    )):
+        st = os.stat(p)
+        st_parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
+    key = hashlib.md5(("deletes|" + "|".join(st_parts)).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"robosat_iceberg_del_{key}")
+    if current_version(path) < 2:
+        docs = spark.read.parquet(doc_dir)
+        write_iceberg(
+            spark, docs, path, partition_by="lang", stats_cols=("doc_id",),
+            timestamp_ms=1000,
+        )
+        delete_rows(spark, path, predicate=F.col("doc_id") % 7 == 0, timestamp_ms=2000)
+    return path
+
+
+def _q_iceberg_deletes(spark, sf_dir):
+    """Iceberg v2 row-level deletes e2e (new r4): the merge-on-read scan
+    over the tombstoned table must equal documents MINUS exactly the
+    doc_id % 7 == 0 rows — proving the (file_path, pos) tombstones hit
+    precisely the predicate's rows and nothing else, across partitions."""
+    from robosat_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(_iceberg_deleted_documents_path(spark, sf_dir))
+    return t.scan(spark).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-URL sketch over the pages table (new r4): the
+    full register table (bucket, max_rho) plus the estimate — an EXACT
+    value gate over an approximate operator, since hash/rho/estimator are
+    engine-replayable (operators/sketch.py). The scale story: map-side
+    combine collapses each scan partition to <= 2^p rows; registers from
+    different table slices merge by bucket-wise MAX (tested)."""
+    from robosat_spark.operators.sketch import hll_distinct
+    from robosat_spark.sources.pages import pages_from_events
+
+    return hll_distinct(pages_from_events(spark, sf_dir), "url", p=6)
+
+
 def _q_iceberg_scan_distributed(spark, sf_dir):
     """The 100x-scale manifest-planning path, value-gated (round-3 review
     item): executor-side Avro manifest fan-out (scan_manifests_distributed,
@@ -1572,8 +1629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_metrics": _q_seg_metrics,
         "feature_merge": _q_feature_merge,
         "dedupe_iou": _q_dedupe_iou,
-        # new r4 gate
+        # new r4 gates
         "iceberg_scan_distributed": _q_iceberg_scan_distributed,
+        "iceberg_deletes": _q_iceberg_deletes,
+        "hll_distinct": _q_hll_distinct,
         # consolidated variant gates
         "pip_assign": _q_pip_assign_all,
         "knn": _q_knn_all,
@@ -2232,6 +2291,16 @@ def oracle_sql() -> dict[str, str]:
     """
     # the distributed manifest planner must see exactly the same table
     sql["iceberg_scan_distributed"] = sql["iceberg_scan"]
+    # v2 position deletes: scan == documents minus the tombstoned rows
+    sql["iceberg_deletes"] = """
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MAX(doc_id) AS max_doc_id
+        FROM documents WHERE doc_id % 7 != 0 GROUP BY lang
+    """
+
+    from robosat_spark.operators.sketch import hll_sql
+
+    sql["hll_distinct"] = hll_sql(f"({_PAGES})", "url", p=6)
 
     # mask_vectorize / halo_stitch: per-tile polygon counts and halo
     # nonzero counts pinned to the ANALYTIC constants of the axis-aligned

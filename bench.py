@@ -153,6 +153,8 @@ def main():
         "iceberg_scan",  # from-scratch Iceberg connector (round 3)
         "iceberg_time_travel",
         "iceberg_scan_distributed",  # executor-side manifest planning (round 4)
+        "iceberg_deletes",  # v2 merge-on-read position deletes (round 4)
+        "hll_distinct",  # HyperLogLog register sketch (round 4)
         "road_widths",
         "token_stats",
         "lang_id",

@@ -1,0 +1,113 @@
+"""Distinct-count sketching (HyperLogLog) as pure column expressions.
+
+At 10^12 rows an exact COUNT(DISTINCT url) shuffles every distinct key to
+count it; the HLL sketch reduces the job to a 2^p-bucket groupBy whose
+partial states merge associatively (MAX per bucket) — map-side combine
+collapses each scan partition to at most 2^p rows before the shuffle, and
+two sketches of different table slices union by bucket-wise MAX (the
+standard re-aggregatable distinct-count operator; Flajolet, Fusy,
+Gandouet, Meunier 2007, "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm").
+
+Deterministic by construction: the hash is the repo's engine-replayable
+60-bit md5 hash (operators.dedup._hash60), the rank (rho) comes from the
+base-2 digit count of the residual bits, and the estimator arithmetic is
+plain double expressions — so a DuckDB twin reproduces the identical
+bucket maxima AND the identical estimate: an EXACT value gate over an
+approximate operator. No JVM sketch classes, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _hash60
+
+
+def _alpha(m: int) -> float:
+    """Bias-correction constant of the raw HLL estimator (FFGM07 §4)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_buckets(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """-> (bucket, max_rho): the HLL register table.
+
+    bucket = top ``p`` bits of the 60-bit hash; rho = 1-based position of
+    the highest set bit counted from the top of the remaining ``60 - p``
+    bits (all-zero residual -> 60 - p + 1). The msb position is derived
+    from the base-2 digit count (Spark ``conv(x, 10, 2)`` / DuckDB
+    ``bin(x)`` — same digit strings), keeping both engines bit-identical.
+    Only non-empty buckets are materialized (<= 2^p rows total)."""
+    w = 60 - p
+    h = _hash60(F.col(col))
+    bucket = F.shiftright(h, w)
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.conv(rest, 10, 2)) + 1
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(buckets: DataFrame, p: int = 6) -> Column:
+    """1-row aggregate over a register table -> the HLL cardinality
+    estimate (raw estimator + FFGM07 small-range linear counting when
+    E <= 2.5m and empty registers exist), rounded to 4 decimals so an
+    engine ulp in the 2^-rho sum can't flip the value hash."""
+    m = 1 << p
+    z_nonempty = F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+    v = F.lit(float(m)) - F.count("*")  # empty registers (contribute 2^0)
+    z = z_nonempty + v
+    raw = F.lit(_alpha(m) * m * m) / z
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return F.round(est, 4).alias("estimate")
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """-> (bucket, max_rho, estimate): the register table with the
+    estimate attached as a constant column (one broadcast of a 1-row
+    aggregate — keeps the full sketch state AND its readout in one
+    result for gating/inspection)."""
+    b = hll_buckets(df, col, p)
+    est = b.agg(hll_estimate(b, p))
+    return b.crossJoin(F.broadcast(est))
+
+
+def hll_sql(table_expr: str, col: str, p: int = 6) -> str:
+    """DuckDB twin of :func:`hll_distinct` (identical hash, rho, and
+    estimator expressions). ``table_expr`` is a FROM-able SQL fragment."""
+    m = 1 << p
+    w = 60 - p
+    hash60 = f"('0x' || substr(md5({col}), 1, 15))::BIGINT"
+    rest = f"({hash60} & {(1 << w) - 1})"
+    rho = f"(CASE WHEN {rest} = 0 THEN {w + 1} ELSE {w} - length(bin({rest})) + 1 END)"
+    return f"""
+        WITH regs AS (
+          SELECT ({hash60} >> {w}) AS bucket, CAST(MAX({rho}) AS INT) AS max_rho
+          FROM {table_expr} GROUP BY 1
+        ),
+        est AS (
+          SELECT ROUND(
+            CASE WHEN ({_alpha(m) * m * m!r} / (SUM(POWER(2.0, -max_rho))
+                        + ({float(m)!r} - COUNT(*)))) <= {2.5 * m!r}
+                      AND ({float(m)!r} - COUNT(*)) > 0
+                 THEN {float(m)!r} * LN({float(m)!r} / ({float(m)!r} - COUNT(*)))
+                 ELSE {_alpha(m) * m * m!r} / (SUM(POWER(2.0, -max_rho))
+                        + ({float(m)!r} - COUNT(*)))
+            END, 4) AS estimate
+          FROM regs
+        )
+        SELECT regs.bucket, regs.max_rho, est.estimate FROM regs CROSS JOIN est
+    """

@@ -475,6 +475,129 @@ def compact_table(spark, table_path: str, target_files: int = 1) -> int:
     return snap_id
 
 
+def delete_rows(spark, table_path: str, filters=None, timestamp_ms: int | None = None,
+                predicate=None) -> int:
+    """Commit a POSITION-DELETE snapshot (Iceberg v2 merge-on-read row
+    deletes, spec data_file.content=1): rows of the CURRENT snapshot
+    matching ``filters`` (same ``(col, op, literal)`` grammar as scan) are
+    tombstoned as sorted (file_path, pos) pairs in a position-delete
+    parquet file referenced from a content=1 delete manifest — data files
+    are NOT rewritten. Row ordinals are computed DISTRIBUTED via Spark's
+    ``_metadata.row_index`` hidden column, so the driver never material-
+    izes matches. Readers anti-join the tombstones at scan time
+    (merge-on-read); ``compact_table`` materializes them away.
+
+    ``predicate`` (a pyspark Column) selects rows with arbitrary
+    expressions the pruning grammar can't carry (e.g. ``col % 7 == 0``);
+    it composes with ``filters`` (which additionally prune files).
+
+    Supported subset vs the spec: deletes are committed at the table's
+    head and apply to every live data file of the current snapshot (all
+    data sequence numbers <= the delete's sequence number); data files
+    appended LATER have fresh unique paths, so the path+pos anti-join
+    correctly never touches them. Returns the new snapshot id."""
+    from pyspark.sql import functions as F
+
+    t = IcebergTable(table_path)
+    meta = t.meta
+    v = current_version(table_path)
+    snap_id, seq = v + 1, v + 1
+    tasks, _report = t.plan_files(filters=filters)
+    ddl = spark_schema_ddl(t.schema_fields)
+    if tasks:
+        df = spark.read.schema(ddl).parquet(*[task.path for task in tasks])
+        for (col, op, value) in filters or []:
+            c = F.col(col)
+            df = df.filter(
+                {"=": c == value, "<": c < value, "<=": c <= value,
+                 ">": c > value, ">=": c >= value}[op]
+            )
+        if predicate is not None:
+            df = df.filter(predicate)
+        tomb = df.select(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+            .alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    else:
+        tomb = spark.createDataFrame([], "file_path STRING, pos LONG")
+    # spec: position-delete files are sorted by (file_path, pos); the
+    # tombstone set is maintenance-scale, one file is the right layout
+    del_dir = os.path.join(table_path, "data", f"snap-{snap_id}-deletes")
+    tomb.repartition(1).sortWithinPartitions("file_path", "pos").write.mode(
+        "overwrite"
+    ).parquet(del_dir)
+
+    entries = []
+    n_deletes = 0
+    for fn in sorted(os.listdir(del_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        p = os.path.join(del_dir, fn)
+        import pyarrow.parquet as pq
+
+        nrows = pq.ParquetFile(p).metadata.num_rows
+        n_deletes += nrows
+        entries.append({
+            "status": STATUS_ADDED,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,  # POSITION_DELETES
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": nrows,
+                "file_size_in_bytes": os.path.getsize(p),
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        })
+    man_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-deletes-m0.avro")
+    # delete manifests carry an empty partition struct (path-scoped deletes)
+    write_container_file(man_path, manifest_entry_schema([], t.schema_fields), entries)
+    delete_manifest = _manifest_file_record(
+        man_path, meta.get("default-spec-id", 0), seq, snap_id, entries, None, content=1
+    )
+
+    cur = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    _s, prior = read_container_file(cur["manifest-list"])
+    ml_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-manifest-list.avro")
+    write_container_file(ml_path, MANIFEST_LIST_SCHEMA, prior + [delete_manifest])
+
+    ts = timestamp_ms if timestamp_ms is not None else (
+        max(s["timestamp-ms"] for s in meta["snapshots"]) + 1
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": ml_path,
+        "schema-id": 0,
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(entries)),
+            "added-position-deletes": str(n_deletes),
+        },
+    }
+    new_meta = dict(meta)
+    new_meta.update({
+        "last-sequence-number": seq,
+        "last-updated-ms": ts,
+        "current-snapshot-id": snap_id,
+        "snapshots": meta["snapshots"] + [snapshot],
+        "snapshot-log": meta.get("snapshot-log", [])
+        + [{"timestamp-ms": ts, "snapshot-id": snap_id}],
+    })
+    with open(os.path.join(_metadata_dir(table_path), f"v{snap_id}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=2)
+    with open(os.path.join(_metadata_dir(table_path), "version-hint.text"), "w") as f:
+        f.write(str(snap_id))
+    return snap_id
+
+
 def _existing_stats_cols(t: "IcebergTable") -> tuple:
     """Column names that carry bounds in the current snapshot's manifests."""
     snap = t._resolve_snapshot()
@@ -583,12 +706,13 @@ def _partition_summary(entries, part_col, by_name):
     }]
 
 
-def _manifest_file_record(man_path, spec_id, seq, snap_id, entries, part_summary):
+def _manifest_file_record(man_path, spec_id, seq, snap_id, entries, part_summary,
+                          content=0):
     return {
         "manifest_path": man_path,
         "manifest_length": os.path.getsize(man_path),
         "partition_spec_id": spec_id,
-        "content": 0,
+        "content": content,
         "sequence_number": seq,
         "min_sequence_number": seq,
         "added_snapshot_id": snap_id,
@@ -684,9 +808,12 @@ class IcebergTable:
         snap = self._resolve_snapshot(snapshot_id, as_of_ms)
         _s, manifests = read_container_file(snap["manifest-list"])
         report = {"manifests_total": len(manifests), "manifests_pruned": 0,
-                  "files_total": 0, "files_pruned": 0}
+                  "files_total": 0, "files_pruned": 0, "delete_files": 0}
         tasks: list[FileTask] = []
         for mf in manifests:
+            if mf.get("content") == 1:  # delete manifest: not data
+                report["delete_files"] += mf.get("added_files_count", 0)
+                continue
             if self._prune_manifest(mf, filters):
                 report["manifests_pruned"] += 1
                 continue
@@ -701,6 +828,22 @@ class IcebergTable:
                     continue
                 tasks.append(FileTask(df_["file_path"], df_["record_count"], dict(df_["partition"])))
         return tasks, report
+
+    def plan_delete_files(self, snapshot_id=None, as_of_ms=None) -> list[str]:
+        """Paths of the snapshot's position-delete files (content=1
+        manifests). Empty for pre-delete snapshots — time travel to before
+        a delete naturally sees the undeleted rows."""
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        _s, manifests = read_container_file(snap["manifest-list"])
+        paths = []
+        for mf in manifests:
+            if mf.get("content") != 1:
+                continue
+            _es, entries = read_container_file(mf["manifest_path"])
+            for e in entries:
+                if e["status"] != STATUS_DELETED:
+                    paths.append(e["data_file"]["file_path"])
+        return paths
 
     def _prune_file(self, data_file: dict, filters) -> bool:
         if not filters:
@@ -747,6 +890,8 @@ class IcebergTable:
         _s, manifests = read_container_file(to_snap["manifest-list"])
         tasks = []
         for mf in manifests:
+            if mf.get("content") == 1:
+                continue  # delete manifests add tombstones, not rows
             if mf["added_snapshot_id"] <= from_snapshot_id:
                 continue  # whole manifest predates the cursor
             _es, entries = read_container_file(mf["manifest_path"])
@@ -770,7 +915,13 @@ class IcebergTable:
     # -- scan --------------------------------------------------------------
     def scan(self, spark, snapshot_id=None, as_of_ms=None, filters=None):
         """-> DataFrame over the snapshot, file-pruned by ``filters`` and
-        re-filtered Spark-side (semantics never depend on pruning)."""
+        re-filtered Spark-side (semantics never depend on pruning).
+        Position-delete files (v2 merge-on-read) are applied as a
+        BROADCAST anti-join on (file_path, row ordinal) — the tombstone
+        set is maintenance-scale next to the data (a shuffle anti-join
+        would reshuffle the whole scan); a table whose deletes outgrow
+        the broadcast budget should be compacted (``compact_table``
+        materializes deletes away)."""
         from pyspark.sql import functions as F
 
         tasks, _report = self.plan_files(snapshot_id, as_of_ms, filters)
@@ -778,6 +929,25 @@ class IcebergTable:
         if not tasks:
             return spark.createDataFrame([], ddl)
         df = spark.read.schema(ddl).parquet(*[t.path for t in tasks])
+        del_paths = self.plan_delete_files(snapshot_id, as_of_ms)
+        if del_paths:
+            dels = spark.read.parquet(*del_paths).select(
+                F.col("file_path").alias("__del_fp"), F.col("pos").alias("__del_pos")
+            )
+            df = (
+                df.withColumn(
+                    "__fp",
+                    F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+                )
+                .withColumn("__pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(dels),
+                    (F.col("__fp") == F.col("__del_fp"))
+                    & (F.col("__pos") == F.col("__del_pos")),
+                    "left_anti",
+                )
+                .drop("__fp", "__pos")
+            )
         for (col, op, value) in filters or []:
             c = F.col(col)
             df = df.filter(
@@ -804,6 +974,8 @@ def scan_manifests_distributed(spark, manifest_paths: list[str]):
                     if e["status"] == STATUS_DELETED:
                         continue
                     d = e["data_file"]
+                    if d.get("content", 0) != 0:
+                        continue  # position/equality delete file, not data
                     rows.append(
                         (mp, d["file_path"], d["record_count"],
                          d["file_size_in_bytes"], json.dumps(d["partition"]))

@@ -69,10 +69,12 @@ class IcebergCursor:
         prev = start
         for snap in new:
             snap_id = snap["snapshot-id"]
-            if snap.get("summary", {}).get("operation") == "replace":
-                # compaction rewrite: its "added" files are the SAME logical
-                # rows — advance the cursor without emitting a batch (else
-                # every compaction would replay the whole table)
+            if snap.get("summary", {}).get("operation") in ("replace", "delete"):
+                # replace (compaction rewrite: same logical rows) and delete
+                # (position tombstones: no NEW rows) snapshots add nothing
+                # to an append-stream consumer — advance the cursor without
+                # emitting a batch (else every compaction would replay the
+                # whole table)
                 self._commit(snap_id)
                 prev = snap_id
                 continue

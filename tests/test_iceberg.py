@@ -149,6 +149,79 @@ def test_iceberg_typed_partition_values(spark, tmp_path):
     assert len(tasks2) == 1 and tasks2[0].partition["lang"] == "a:b/c"
 
 
+def test_iceberg_position_deletes_merge_on_read(spark, tmp_path):
+    """v2 row-level deletes: delete_rows commits a content=1 delete
+    manifest of (file_path, pos) tombstones; scan anti-joins them
+    (merge-on-read), time travel to before the delete sees all rows,
+    incremental scans emit no rows for the delete snapshot, appends after
+    the delete stay visible with old tombstones still applied, and
+    compaction materializes the deletes away."""
+    from robosat_spark.sources.iceberg import compact_table, delete_rows
+
+    path = str(tmp_path / "tbl")
+    rows = [(i, f"doc {i}", ["en", "de"][i % 2], 10 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING, n_chars LONG")
+    write_iceberg(spark, df, path, partition_by="lang", stats_cols=("doc_id",),
+                  timestamp_ms=1000)
+
+    snap2 = delete_rows(spark, path, [("doc_id", "<", 10)])
+    t = IcebergTable(path)
+    assert snap2 == 2
+    got = {r["doc_id"] for r in t.scan(spark).collect()}
+    assert got == set(range(10, 40))
+    # pre-delete snapshot unaffected (tombstones are snapshot-scoped)
+    assert t.scan(spark, snapshot_id=1).count() == 40
+    # delete snapshot adds no data rows for an incremental consumer
+    assert t.scan_incremental(spark, from_snapshot_id=1, to_snapshot_id=2).count() == 0
+    # filters still compose with merge-on-read
+    assert t.scan(spark, filters=[("lang", "=", "en")]).count() == 15
+
+    # append after the delete: new rows visible, old tombstones still apply
+    extra = spark.createDataFrame(
+        [(100 + i, f"new {i}", "en", 5) for i in range(4)],
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG",
+    )
+    write_iceberg(spark, extra, path, partition_by="lang", stats_cols=("doc_id",),
+                  timestamp_ms=3000)
+    t = IcebergTable(path)
+    got = {r["doc_id"] for r in t.scan(spark).collect()}
+    assert got == set(range(10, 40)) | {100, 101, 102, 103}
+
+    # compaction materializes deletes: same rows, no delete manifests left
+    compact_table(spark, path)
+    t = IcebergTable(path)
+    assert {r["doc_id"] for r in t.scan(spark).collect()} == got
+    assert t.plan_delete_files() == []
+    _tasks, rep = t.plan_files()
+    assert rep["delete_files"] == 0
+
+    # delete snapshot metadata is spec-shaped
+    snap = next(s for s in t.snapshots() if s["snapshot-id"] == 2)
+    assert snap["summary"]["operation"] == "delete"
+    assert int(snap["summary"]["added-position-deletes"]) == 10
+
+
+def test_iceberg_cursor_skips_delete_snapshots(spark, tmp_path):
+    """An append-stream consumer must not emit a batch for a tombstone
+    commit (no new rows), mirroring the replace-snapshot skip."""
+    from robosat_spark.sources.iceberg import delete_rows
+    from robosat_spark.streaming.iceberg_ingest import IcebergCursor
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "doc_id LONG, text STRING"
+    )
+    write_iceberg(spark, df, path, timestamp_ms=1000)
+    cur = IcebergCursor(path, str(tmp_path / "cursor"))
+    batches = []
+    cur.poll(spark, lambda d, sid: batches.append((sid, d.count())))
+    assert batches == [(1, 10)]
+    delete_rows(spark, path, [("doc_id", ">=", 8)])
+    n = cur.poll(spark, lambda d, sid: batches.append((sid, d.count())))
+    assert n == 0 and batches == [(1, 10)]  # cursor advanced silently
+    assert cur.position() == 2
+
+
 def test_iceberg_manifest_files_are_real_avro(table):
     """Manifests and manifest lists decode as spec-shaped Avro containers
     with the spec's field names (not JSON stand-ins)."""
