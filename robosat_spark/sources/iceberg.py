@@ -475,6 +475,69 @@ def compact_table(spark, table_path: str, target_files: int = 1) -> int:
     return snap_id
 
 
+def _snapshot_referenced_paths(snap: dict) -> set[str]:
+    """Every file path a snapshot pins: its manifest list, the manifests
+    it references, and every live-or-deleted entry's data/delete file."""
+    paths = {snap["manifest-list"]}
+    _s, manifests = read_container_file(snap["manifest-list"])
+    for mf in manifests:
+        paths.add(mf["manifest_path"])
+        _es, entries = read_container_file(mf["manifest_path"])
+        for e in entries:
+            paths.add(e["data_file"]["file_path"])
+    return paths
+
+
+def expire_snapshots(table_path: str, keep_last: int = 1,
+                     older_than_ms: int | None = None) -> int:
+    """The ``expire_snapshots`` maintenance action: drop old snapshots
+    from the metadata and PHYSICALLY delete every data/delete/manifest/
+    manifest-list file no surviving snapshot references — the GC that
+    keeps a 10¹²-row table's storage bounded under continuous appends,
+    compactions, and deletes. Keeps the current snapshot plus the most
+    recent ``keep_last`` snapshots (and, if ``older_than_ms`` is given,
+    everything newer than it). Time travel to an expired snapshot then
+    fails, by design. Returns the number of snapshots expired."""
+    meta = load_metadata(table_path)
+    snaps = meta["snapshots"]
+    cur_id = meta["current-snapshot-id"]
+    by_recency = sorted(snaps, key=lambda s: s["snapshot-id"], reverse=True)
+    keep_ids = {cur_id} | {s["snapshot-id"] for s in by_recency[:keep_last]}
+    if older_than_ms is not None:
+        keep_ids |= {s["snapshot-id"] for s in snaps if s["timestamp-ms"] >= older_than_ms}
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return 0
+    survivors = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    referenced: set[str] = set()
+    for s in survivors:
+        referenced |= _snapshot_referenced_paths(s)
+    # walk ALL expired snapshots before deleting anything: consecutive
+    # snapshots share manifests (append carries prior manifests forward),
+    # so deleting during the walk would break a later snapshot's read
+    expired_refs: set[str] = set()
+    for s in expired:
+        expired_refs |= _snapshot_referenced_paths(s)
+    for p in expired_refs - referenced:
+        if os.path.exists(p):
+            os.remove(p)
+
+    v = current_version(table_path)
+    new_v = v + 1
+    new_meta = dict(meta)
+    new_meta.update({
+        "snapshots": survivors,
+        "snapshot-log": [
+            e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in keep_ids
+        ],
+    })
+    with open(os.path.join(_metadata_dir(table_path), f"v{new_v}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=2)
+    with open(os.path.join(_metadata_dir(table_path), "version-hint.text"), "w") as f:
+        f.write(str(new_v))
+    return len(expired)
+
+
 def delete_rows(spark, table_path: str, filters=None, timestamp_ms: int | None = None,
                 predicate=None) -> int:
     """Commit a POSITION-DELETE snapshot (Iceberg v2 merge-on-read row

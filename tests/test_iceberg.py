@@ -222,6 +222,38 @@ def test_iceberg_cursor_skips_delete_snapshots(spark, tmp_path):
     assert cur.position() == 2
 
 
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """expire_snapshots drops old snapshots from metadata and physically
+    removes files only they reference; the current snapshot's data
+    survives, time travel to expired snapshots fails by design."""
+    import os
+
+    import pytest as _pytest
+
+    from robosat_spark.sources.iceberg import compact_table, expire_snapshots
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(i, "x" * 4) for i in range(20)], "id LONG, s STRING")
+    write_iceberg(spark, df.filter("id < 10"), path, timestamp_ms=1000)
+    write_iceberg(spark, df.filter("id >= 10"), path, timestamp_ms=2000)
+    compact_table(spark, path)  # snapshot 3 references only rewritten files
+    t = IcebergTable(path)
+    old_files = {task.path for task in t.plan_files(snapshot_id=1)[0]}
+    old_ml = t._resolve_snapshot(snapshot_id=1)["manifest-list"]
+    assert expire_snapshots(path, keep_last=1) == 2
+
+    t2 = IcebergTable(path)
+    assert [s["snapshot-id"] for s in t2.snapshots()] == [3]
+    assert t2.scan(spark).count() == 20
+    assert {r["id"] for r in t2.scan(spark).collect()} == set(range(20))
+    assert all(not os.path.exists(p) for p in old_files)
+    assert not os.path.exists(old_ml)
+    with _pytest.raises(StopIteration):
+        t2.scan(spark, snapshot_id=1)
+    # idempotent: nothing more to expire
+    assert expire_snapshots(path, keep_last=1) == 0
+
+
 def test_iceberg_manifest_files_are_real_avro(table):
     """Manifests and manifest lists decode as spec-shaped Avro containers
     with the spec's field names (not JSON stand-ins)."""
