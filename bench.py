@@ -72,6 +72,18 @@ def _scaling_partition_bytes(path: str, cpus: int) -> int:
     return max(16 << 20, min(64 << 20, total // (cpus * 4) or 1))
 
 
+def _cpu_stat():
+    parts = open("/proc/stat").readline().split()
+    return int(parts[8]), sum(map(int, parts[1:11]))  # steal, total
+
+
+def _steal_pct(before, after):
+    """Hypervisor steal % over a window (this VM shows interference
+    epochs; the audit lets a slow phase be adjudicated as host vs plan)."""
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / max(1, dt), 2)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -208,7 +220,10 @@ def main():
         best = {n: min(ts) for n, ts in trials.items()}
         return best, trials
 
+    steal = {}
+    s0 = _cpu_stat()
     timings, trials = run_suite(spark, qs)
+    steal["suite_32cpu"] = _steal_pct(s0, _cpu_stat())
 
     # flagship e2e on the sf tables (correctness-scale; warmup-dominated)
     from robosat_spark.operators.spatial_join import assign_broadcast
@@ -228,22 +243,32 @@ def main():
 
     # headline throughput: the fused flagship count at a size where
     # parallelism dominates JVM fixed costs (input generated once, reused).
+    # Measured in a FRESH JVM: after the 40+-query suite x N trials the
+    # session carries accumulated broadcast/checkpoint/codegen state that
+    # made the SAME job run 10s in-suite vs 5s standalone (r4 measurement,
+    # 2.9% steal — suite pollution, not host noise); the standalone number
+    # is the honest engine throughput and matches tools/bench_scaling.py.
     # (r1 ran the salted-shuffle variant under key flagship_salted_5m; the
     # fused plan replaced it as the default count readout in r2.)
     headline_n = int(os.environ.get("SPARK_GRAFT_HEADLINE_N", "5000000"))
-    path = scaling_input(spark, headline_n)
+    path = scaling_input(spark, headline_n)  # generate (if needed) in the old session
+    spark.stop()
+    spark = get_spark(app="robosat_spark_bench_flagship", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(_scaling_partition_bytes(path, cpus))
+    )
     spark.read.parquet(path).count()  # warm listing/page cache, untimed
     scaling_job(spark, path)  # untimed: spawn the refine's Python workers
-    import gc as _gc
-
-    _gc.collect()  # shed the suite's accumulated checkpoint blocks first
-    spark.sparkContext._jvm.System.gc()
+    s0 = _cpu_stat()
     flag_trials = []
     joined_rows = 0
     for _ in range(n_trials):
         t0 = time.perf_counter()
         joined_rows = scaling_job(spark, path)
         flag_trials.append(round(time.perf_counter() - t0, 3))
+    steal["flagship"] = _steal_pct(s0, _cpu_stat())
     flagship_sec = min(flag_trials)
     timings["flagship_count_5m"] = flagship_sec
     trials["flagship_count_5m"] = flag_trials
@@ -258,6 +283,7 @@ def main():
         "sf": None,
         "cpus": cpus,
         "joined_rows": joined_rows,
+        "steal_pct": steal,
     }
     sf = sf_dir.rstrip("/").split("sf")[-1]
     payload["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -276,7 +302,9 @@ def main():
             spark8.range(1000).selectExpr("sum(id)").collect()
             qs8 = entry.bench_queries()
             qs8["tile_encode"](spark8, sf_dir).limit(1).count()
+            s0 = _cpu_stat()
             timings8, trials8 = run_suite(spark8, qs8)
+            payload["steal_pct"]["suite_8cpu"] = _steal_pct(s0, _cpu_stat())
             payload["queries_8cpu"] = timings8
             payload["queries_8cpu_trials"] = trials8
             spark8.stop()
@@ -291,7 +319,8 @@ def main():
     # can never eat it; the full payload above keeps the raw trials.
     compact = {
         k: payload[k]
-        for k in ("metric", "value", "unit", "trials", "sf", "cpus", "joined_rows")
+        for k in ("metric", "value", "unit", "trials", "sf", "cpus", "joined_rows",
+                  "steal_pct")
     }
     compact["queries"] = payload["queries"]
     if "queries_8cpu" in payload:
