@@ -157,6 +157,7 @@ def manifest_entry_schema(spec_fields: list[dict], ice_schema: list[dict]) -> di
             {"name": "null_value_counts", "type": ["null", _kv_map_schema("k110_v111", 121, 122, "long")], "field-id": 110, "default": None},
             {"name": "lower_bounds", "type": ["null", _kv_map_schema("k126_v127", 126, 127, "bytes")], "field-id": 125, "default": None},
             {"name": "upper_bounds", "type": ["null", _kv_map_schema("k129_v130", 129, 130, "bytes")], "field-id": 128, "default": None},
+            {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}], "field-id": 135, "default": None},
         ],
     }
     return {
@@ -616,6 +617,7 @@ def delete_rows(spark, table_path: str, filters=None, timestamp_ms: int | None =
                 "null_value_counts": None,
                 "lower_bounds": None,
                 "upper_bounds": None,
+                "equality_ids": None,
             },
         })
     man_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-deletes-m0.avro")
@@ -643,6 +645,101 @@ def delete_rows(spark, table_path: str, filters=None, timestamp_ms: int | None =
             "operation": "delete",
             "added-delete-files": str(len(entries)),
             "added-position-deletes": str(n_deletes),
+        },
+    }
+    new_meta = dict(meta)
+    new_meta.update({
+        "last-sequence-number": seq,
+        "last-updated-ms": ts,
+        "current-snapshot-id": snap_id,
+        "snapshots": meta["snapshots"] + [snapshot],
+        "snapshot-log": meta.get("snapshot-log", [])
+        + [{"timestamp-ms": ts, "snapshot-id": snap_id}],
+    })
+    with open(os.path.join(_metadata_dir(table_path), f"v{snap_id}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=2)
+    with open(os.path.join(_metadata_dir(table_path), "version-hint.text"), "w") as f:
+        f.write(str(snap_id))
+    return snap_id
+
+
+def delete_rows_equality(spark, table_path: str, keys_df, key_cols,
+                         timestamp_ms: int | None = None) -> int:
+    """Commit an EQUALITY-DELETE snapshot (Iceberg v2, data_file.content=2):
+    every row whose ``key_cols`` values match a row of ``keys_df`` is
+    logically deleted from data files with sequence number STRICTLY LESS
+    than the delete's (the spec's equality-delete rule — rows appended
+    LATER with the same keys stay live, which is what makes this the
+    upsert building block: delete-by-key + append-new-version).
+
+    ``keys_df``: a (small) DataFrame with exactly ``key_cols`` columns.
+    Readers apply it as a broadcast anti-join on the key columns gated by
+    the per-file sequence number. Returns the new snapshot id."""
+    t = IcebergTable(table_path)
+    meta = t.meta
+    v = current_version(table_path)
+    snap_id, seq = v + 1, v + 1
+    key_cols = list(key_cols)
+    ids_by_name = {f["name"]: f["id"] for f in t.schema_fields}
+    eq_ids = [ids_by_name[c] for c in key_cols]
+
+    del_dir = os.path.join(table_path, "data", f"snap-{snap_id}-eqdeletes")
+    keys_df.select(*key_cols).dropDuplicates().repartition(1).sortWithinPartitions(
+        *key_cols
+    ).write.mode("overwrite").parquet(del_dir)
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    n_deletes = 0
+    for fn in sorted(os.listdir(del_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        p = os.path.join(del_dir, fn)
+        nrows = pq.ParquetFile(p).metadata.num_rows
+        n_deletes += nrows
+        entries.append({
+            "status": STATUS_ADDED,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 2,  # EQUALITY_DELETES
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": nrows,
+                "file_size_in_bytes": os.path.getsize(p),
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": eq_ids,
+            },
+        })
+    man_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-eqdeletes-m0.avro")
+    write_container_file(man_path, manifest_entry_schema([], t.schema_fields), entries)
+    delete_manifest = _manifest_file_record(
+        man_path, meta.get("default-spec-id", 0), seq, snap_id, entries, None, content=1
+    )
+
+    cur = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    _s, prior = read_container_file(cur["manifest-list"])
+    ml_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-manifest-list.avro")
+    write_container_file(ml_path, MANIFEST_LIST_SCHEMA, prior + [delete_manifest])
+
+    ts = timestamp_ms if timestamp_ms is not None else (
+        max(s["timestamp-ms"] for s in meta["snapshots"]) + 1
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": ml_path,
+        "schema-id": 0,
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(entries)),
+            "added-equality-deletes": str(n_deletes),
         },
     }
     new_meta = dict(meta)
@@ -750,6 +847,7 @@ def _manifest_entries_for_dir(data_dir, ice_schema, stats_cols, part_col, snap_i
                     "null_value_counts": nulls,
                     "lower_bounds": lo,
                     "upper_bounds": hi,
+                    "equality_ids": None,
                 },
             })
     return entries
@@ -799,6 +897,7 @@ class FileTask:
     path: str
     record_count: int
     partition: dict = field(default_factory=dict)
+    seq: int = 0  # data sequence number (equality deletes apply to seq < theirs)
 
 
 def _bound_excludes(op: str, value: Any, lo: Any, hi: Any) -> bool:
@@ -889,24 +988,44 @@ class IcebergTable:
                 if self._prune_file(df_, filters):
                     report["files_pruned"] += 1
                     continue
-                tasks.append(FileTask(df_["file_path"], df_["record_count"], dict(df_["partition"])))
+                tasks.append(FileTask(
+                    df_["file_path"], df_["record_count"], dict(df_["partition"]),
+                    e.get("sequence_number") or mf.get("sequence_number", 0),
+                ))
         return tasks, report
 
-    def plan_delete_files(self, snapshot_id=None, as_of_ms=None) -> list[str]:
-        """Paths of the snapshot's position-delete files (content=1
-        manifests). Empty for pre-delete snapshots — time travel to before
-        a delete naturally sees the undeleted rows."""
+    def plan_delete_entries(self, snapshot_id=None, as_of_ms=None) -> list[dict]:
+        """[{path, content, seq, equality_cols}] for the snapshot's delete
+        files (content=1 position, content=2 equality). Empty for
+        pre-delete snapshots — time travel to before a delete naturally
+        sees the undeleted rows."""
         snap = self._resolve_snapshot(snapshot_id, as_of_ms)
         _s, manifests = read_container_file(snap["manifest-list"])
-        paths = []
+        by_id = {f["id"]: f["name"] for f in self.schema_fields}
+        out = []
         for mf in manifests:
-            if mf.get("content") != 1:
+            if mf.get("content") != 1:  # manifest-list content: 1 = deletes
                 continue
             _es, entries = read_container_file(mf["manifest_path"])
             for e in entries:
-                if e["status"] != STATUS_DELETED:
-                    paths.append(e["data_file"]["file_path"])
-        return paths
+                if e["status"] == STATUS_DELETED:
+                    continue
+                d = e["data_file"]
+                out.append({
+                    "path": d["file_path"],
+                    "content": d.get("content", 1),
+                    "seq": e.get("sequence_number") or mf.get("sequence_number", 0),
+                    "equality_cols": [by_id[i] for i in d.get("equality_ids") or []],
+                })
+        return out
+
+    def plan_delete_files(self, snapshot_id=None, as_of_ms=None) -> list[str]:
+        """Position-delete file paths only (see plan_delete_entries)."""
+        return [
+            d["path"]
+            for d in self.plan_delete_entries(snapshot_id, as_of_ms)
+            if d["content"] == 1
+        ]
 
     def _prune_file(self, data_file: dict, filters) -> bool:
         if not filters:
@@ -992,25 +1111,52 @@ class IcebergTable:
         if not tasks:
             return spark.createDataFrame([], ddl)
         df = spark.read.schema(ddl).parquet(*[t.path for t in tasks])
-        del_paths = self.plan_delete_files(snapshot_id, as_of_ms)
-        if del_paths:
-            dels = spark.read.parquet(*del_paths).select(
+        del_entries = self.plan_delete_entries(snapshot_id, as_of_ms)
+        pos_paths = [d["path"] for d in del_entries if d["content"] == 1]
+        eq_dels = [d for d in del_entries if d["content"] == 2]
+        if pos_paths or eq_dels:
+            df = df.withColumn(
+                "__fp", F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+            )
+        if pos_paths:
+            dels = spark.read.parquet(*pos_paths).select(
                 F.col("file_path").alias("__del_fp"), F.col("pos").alias("__del_pos")
             )
             df = (
-                df.withColumn(
-                    "__fp",
-                    F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
-                )
-                .withColumn("__pos", F.col("_metadata.row_index"))
+                df.withColumn("__pos", F.col("_metadata.row_index"))
                 .join(
                     F.broadcast(dels),
                     (F.col("__fp") == F.col("__del_fp"))
                     & (F.col("__pos") == F.col("__del_pos")),
                     "left_anti",
                 )
-                .drop("__fp", "__pos")
+                .drop("__pos")
             )
+        if eq_dels:
+            # equality deletes apply only to rows of files with sequence
+            # number STRICTLY LESS than the delete's: attach each row's
+            # file sequence via a tiny broadcast (path -> seq) join, then
+            # anti-join per delete set on null-safe key equality
+            files_df = spark.createDataFrame(
+                [(task.path, task.seq) for task in tasks], "__sfp STRING, __seq LONG"
+            )
+            df = df.join(F.broadcast(files_df), F.col("__fp") == F.col("__sfp"), "left").drop(
+                "__sfp"
+            )
+            groups: dict = {}
+            for d in eq_dels:
+                groups.setdefault((d["seq"], tuple(d["equality_cols"])), []).append(d["path"])
+            for (dseq, cols), paths in sorted(groups.items()):
+                keys = spark.read.parquet(*paths).select(
+                    *[F.col(c).alias(f"__k_{c}") for c in cols]
+                ).dropDuplicates()
+                cond = F.col("__seq") < F.lit(dseq)
+                for c in cols:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+                df = df.join(F.broadcast(keys), cond, "left_anti")
+            df = df.drop("__seq")
+        if pos_paths or eq_dels:
+            df = df.drop("__fp")
         for (col, op, value) in filters or []:
             c = F.col(col)
             df = df.filter(

@@ -222,6 +222,50 @@ def test_iceberg_cursor_skips_delete_snapshots(spark, tmp_path):
     assert cur.position() == 2
 
 
+def test_iceberg_equality_deletes(spark, tmp_path):
+    """v2 equality deletes (content=2): delete-by-key applies only to data
+    files with sequence number strictly below the delete's — rows appended
+    later with the same key stay live (the upsert building block). Mixed
+    position+equality deletes compose; compaction materializes both."""
+    from robosat_spark.sources.iceberg import (
+        compact_table,
+        delete_rows,
+        delete_rows_equality,
+    )
+
+    path = str(tmp_path / "tbl")
+    rows = [(i, ["en", "de"][i % 2], f"v1-{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id LONG, lang STRING, body STRING")
+    write_iceberg(spark, df, path, stats_cols=("id",), timestamp_ms=1000)
+
+    keys = spark.createDataFrame([("de",)], "lang STRING")
+    assert delete_rows_equality(spark, path, keys, ["lang"]) == 2
+    t = IcebergTable(path)
+    got = {(r["id"], r["lang"]) for r in t.scan(spark).collect()}
+    assert got == {(i, "en") for i in range(0, 20, 2)}
+    # time travel to before the delete sees everything
+    assert t.scan(spark, snapshot_id=1).count() == 20
+
+    # new 'de' rows appended AFTER the equality delete stay live
+    extra = spark.createDataFrame([(100, "de", "v2-100")], "id LONG, lang STRING, body STRING")
+    write_iceberg(spark, extra, path, stats_cols=("id",), timestamp_ms=3000)
+    t = IcebergTable(path)
+    got = {(r["id"], r["lang"]) for r in t.scan(spark).collect()}
+    assert (100, "de") in got and len(got) == 11
+
+    # position delete composes on top
+    delete_rows(spark, path, [("id", "<", 4)])
+    t = IcebergTable(path)
+    got = {r["id"] for r in t.scan(spark).collect()}
+    assert got == {i for i in range(4, 20, 2)} | {100}
+
+    # compaction materializes both delete kinds away
+    compact_table(spark, path)
+    t = IcebergTable(path)
+    assert {r["id"] for r in t.scan(spark).collect()} == got
+    assert t.plan_delete_entries() == []
+
+
 def test_iceberg_expire_snapshots(spark, tmp_path):
     """expire_snapshots drops old snapshots from metadata and physically
     removes files only they reference; the current snapshot's data
