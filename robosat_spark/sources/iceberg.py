@@ -307,7 +307,50 @@ def write_iceberg(
     os.makedirs(_metadata_dir(table_path), exist_ok=True)
     v = current_version(table_path)
     meta = load_metadata(table_path) if v else None
-    ice_schema = meta["schemas"][0]["fields"] if meta else _iceberg_schema_from_spark(df)
+    # --- schema evolution: an append whose df carries NEW columns registers
+    # a new schema (next schema-id); existing columns keep their field ids
+    # (id stability is what keeps old files' stats/bounds valid), new
+    # columns get fresh ids past last-column-id. Old data files simply lack
+    # the new columns — the reader's schema-on-read fills nulls. Type
+    # changes are rejected (only additive evolution is supported).
+    if meta:
+        prior_schemas = list(meta["schemas"])
+        cur_sid = meta.get("current-schema-id", 0)
+        base_fields = next(
+            s["fields"] for s in prior_schemas if s.get("schema-id", 0) == cur_sid
+        )
+        last_col_id = meta.get("last-column-id", len(base_fields))
+    else:
+        base_fields = _iceberg_schema_from_spark(df)
+        prior_schemas = [{"type": "struct", "schema-id": 0, "fields": base_fields}]
+        cur_sid = 0
+        last_col_id = len(base_fields)
+    by_name0 = {f["name"]: f for f in base_fields}
+    added_fields = []
+    for f in df.schema.fields:
+        tn = f.dataType.simpleString()
+        if tn not in _SPARK_TO_ICEBERG:
+            raise ValueError(f"unsupported column type for iceberg write: {tn}")
+        if f.name in by_name0:
+            if _SPARK_TO_ICEBERG[tn] != by_name0[f.name]["type"]:
+                raise ValueError(
+                    f"column type change not supported: {f.name} "
+                    f"{by_name0[f.name]['type']} -> {_SPARK_TO_ICEBERG[tn]}"
+                )
+        else:
+            last_col_id += 1
+            added_fields.append({
+                "id": last_col_id, "name": f.name, "required": False,
+                "type": _SPARK_TO_ICEBERG[tn],
+            })
+    if added_fields:
+        ice_schema = base_fields + added_fields
+        cur_sid = max(s.get("schema-id", 0) for s in prior_schemas) + 1
+        prior_schemas = prior_schemas + [
+            {"type": "struct", "schema-id": cur_sid, "fields": ice_schema}
+        ]
+    else:
+        ice_schema = base_fields
     by_name = {f["name"]: f for f in ice_schema}
     stats_cols = tuple(stats_cols) + ((partition_by,) if partition_by else ())
 
@@ -379,7 +422,7 @@ def write_iceberg(
         "sequence-number": seq,
         "timestamp-ms": ts,
         "manifest-list": ml_path,
-        "schema-id": 0,
+        "schema-id": cur_sid,
         "summary": {"operation": "append", "added-data-files": str(len(entries))},
     }
     new_meta = {
@@ -388,9 +431,9 @@ def write_iceberg(
         "location": table_path,
         "last-sequence-number": seq,
         "last-updated-ms": ts,
-        "last-column-id": len(ice_schema),
-        "current-schema-id": 0,
-        "schemas": [{"type": "struct", "schema-id": 0, "fields": ice_schema}],
+        "last-column-id": last_col_id,
+        "current-schema-id": cur_sid,
+        "schemas": prior_schemas,
         "default-spec-id": spec_id,
         "partition-specs": prior_specs if prior_specs else [{"spec-id": 0, "fields": []}],
         "last-partition-id": last_pfid,
@@ -457,7 +500,7 @@ def compact_table(spark, table_path: str, target_files: int = 1) -> int:
         "sequence-number": seq,
         "timestamp-ms": ts,
         "manifest-list": ml_path,
-        "schema-id": 0,
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {"operation": "replace", "rewritten-data-files": str(len(entries))},
     }
     new_meta = dict(meta)
@@ -640,7 +683,7 @@ def delete_rows(spark, table_path: str, filters=None, timestamp_ms: int | None =
         "sequence-number": seq,
         "timestamp-ms": ts,
         "manifest-list": ml_path,
-        "schema-id": 0,
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {
             "operation": "delete",
             "added-delete-files": str(len(entries)),
@@ -735,7 +778,7 @@ def delete_rows_equality(spark, table_path: str, keys_df, key_cols,
         "sequence-number": seq,
         "timestamp-ms": ts,
         "manifest-list": ml_path,
-        "schema-id": 0,
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {
             "operation": "delete",
             "added-delete-files": str(len(entries)),
@@ -756,6 +799,29 @@ def delete_rows_equality(spark, table_path: str, keys_df, key_cols,
     with open(os.path.join(_metadata_dir(table_path), "version-hint.text"), "w") as f:
         f.write(str(snap_id))
     return snap_id
+
+
+def upsert(spark, table_path: str, df, key_cols,
+           timestamp_ms: int | None = None) -> tuple[int, int]:
+    """MERGE-by-key (the CDC upsert every changing web corpus needs):
+    equality-delete the incoming keys, then append ``df`` as the new row
+    versions — existing rows with those keys are superseded, unseen keys
+    are plain inserts. Partitioning and stats columns are inherited from
+    the table. Two metadata commits, each atomic; a reader racing between
+    them sees the keys deleted but not yet re-inserted (same visibility
+    window a REST-catalog two-statement transaction would close).
+    Returns (delete_snapshot_id, append_snapshot_id)."""
+    t = IcebergTable(table_path)
+    sid1 = delete_rows_equality(
+        spark, table_path, df.select(*key_cols), key_cols, timestamp_ms
+    )
+    part = t.partition_cols[0] if t.partition_cols else None
+    stats = tuple(c for c in _existing_stats_cols(t) if c != part)
+    sid2 = write_iceberg(
+        spark, df, table_path, partition_by=part, stats_cols=stats,
+        timestamp_ms=None if timestamp_ms is None else timestamp_ms + 1,
+    )
+    return sid1, sid2
 
 
 def _existing_stats_cols(t: "IcebergTable") -> tuple:
@@ -918,7 +984,10 @@ class IcebergTable:
     def __init__(self, table_path: str):
         self.path = table_path
         self.meta = load_metadata(table_path)
-        self.schema_fields = self.meta["schemas"][0]["fields"]
+        sid = self.meta.get("current-schema-id", 0)
+        self.schema_fields = next(
+            s["fields"] for s in self.meta["schemas"] if s.get("schema-id", 0) == sid
+        )
         self._types_by_name = {f["name"]: f["type"] for f in self.schema_fields}
         self._ids_by_name = {f["name"]: f["id"] for f in self.schema_fields}
         # spec evolution: each manifest carries its partition_spec_id and
@@ -943,6 +1012,16 @@ class IcebergTable:
                 raise ValueError(f"no snapshot at or before {as_of_ms}")
             return max(ok, key=lambda s: s["timestamp-ms"])
         return next(s for s in snaps if s["snapshot-id"] == self.meta["current-snapshot-id"])
+
+    def _schema_for_snapshot(self, snap: dict) -> list[dict]:
+        """Schema evolution: each snapshot reads with ITS schema-id (a
+        time-travel scan to before an add-column must not show the new
+        column); unknown/missing ids fall back to the current schema."""
+        sid = snap.get("schema-id", self.meta.get("current-schema-id", 0))
+        for s in self.meta["schemas"]:
+            if s.get("schema-id", 0) == sid:
+                return s["fields"]
+        return self.schema_fields
 
     # -- planning ----------------------------------------------------------
     def _prune_manifest(self, mf: dict, filters) -> bool:
@@ -1089,7 +1168,9 @@ class IcebergTable:
     def scan_incremental(self, spark, from_snapshot_id: int, to_snapshot_id: int | None = None):
         """-> DataFrame of rows appended in (from_snapshot_id, to]."""
         tasks = self.plan_incremental_files(from_snapshot_id, to_snapshot_id)
-        ddl = spark_schema_ddl(self.schema_fields)
+        ddl = spark_schema_ddl(
+            self._schema_for_snapshot(self._resolve_snapshot(to_snapshot_id))
+        )
         if not tasks:
             return spark.createDataFrame([], ddl)
         return spark.read.schema(ddl).parquet(*[t.path for t in tasks])
@@ -1107,7 +1188,9 @@ class IcebergTable:
         from pyspark.sql import functions as F
 
         tasks, _report = self.plan_files(snapshot_id, as_of_ms, filters)
-        ddl = spark_schema_ddl(self.schema_fields)
+        ddl = spark_schema_ddl(
+            self._schema_for_snapshot(self._resolve_snapshot(snapshot_id, as_of_ms))
+        )
         if not tasks:
             return spark.createDataFrame([], ddl)
         df = spark.read.schema(ddl).parquet(*[t.path for t in tasks])

@@ -266,6 +266,82 @@ def test_iceberg_equality_deletes(spark, tmp_path):
     assert t.plan_delete_entries() == []
 
 
+def test_iceberg_schema_evolution_add_column(spark, tmp_path):
+    """Additive schema evolution: an append carrying a NEW column registers
+    a new schema-id; old files read as null for it (schema-on-read),
+    existing columns keep their field ids (old bounds stay valid), and a
+    time-travel scan to before the add must NOT show the column."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2]) for i in range(10)], "id LONG, lang STRING"
+    )
+    write_iceberg(spark, v1, path, stats_cols=("id",), timestamp_ms=1000)
+    v2 = spark.createDataFrame(
+        [(100 + i, "fr", 0.5 + i) for i in range(5)],
+        "id LONG, lang STRING, score DOUBLE",
+    )
+    write_iceberg(spark, v2, path, stats_cols=("id",), timestamp_ms=2000)
+
+    t = IcebergTable(path)
+    assert [f["name"] for f in t.schema_fields] == ["id", "lang", "score"]
+    # new column got a FRESH id; old ids stable
+    assert {f["name"]: f["id"] for f in t.schema_fields} == {
+        "id": 1, "lang": 2, "score": 3
+    }
+    cur = t.scan(spark)
+    assert cur.count() == 15
+    rows = {r["id"]: r["score"] for r in cur.collect()}
+    assert rows[0] is None and rows[100] == 0.5  # nulls for pre-add files
+    # time travel: snapshot 1 has NO score column
+    old = t.scan(spark, snapshot_id=1)
+    assert old.columns == ["id", "lang"] and old.count() == 10
+    # incremental scan of the add-column append carries the new column
+    inc = t.scan_incremental(spark, from_snapshot_id=1, to_snapshot_id=2)
+    assert "score" in inc.columns and inc.count() == 5
+    # bounds pruning on the OLD column still works across both schemas
+    assert t.scan(spark, filters=[("id", ">=", 100)]).count() == 5
+    # type changes are rejected
+    bad = spark.createDataFrame([(1, 2)], "id LONG, lang LONG")
+    with _pytest.raises(ValueError):
+        write_iceberg(spark, bad, path)
+
+
+def test_iceberg_upsert(spark, tmp_path):
+    """MERGE-by-key: updated keys are superseded, new keys inserted,
+    untouched rows survive; time travel sees the pre-merge versions."""
+    from robosat_spark.sources.iceberg import upsert
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], f"v1-{i}") for i in range(10)],
+        "id LONG, lang STRING, body STRING",
+    )
+    write_iceberg(spark, df, path, partition_by="lang", stats_cols=("id",),
+                  timestamp_ms=1000)
+    changes = spark.createDataFrame(
+        [(2, "en", "v2-2"), (3, "de", "v2-3"), (50, "fr", "v1-50")],
+        "id LONG, lang STRING, body STRING",
+    )
+    sid1, sid2 = upsert(spark, path, changes, ["id"], timestamp_ms=2000)
+    assert (sid1, sid2) == (2, 3)
+    t = IcebergTable(path)
+    got = {(r["id"], r["body"]) for r in t.scan(spark).collect()}
+    want = {(i, f"v1-{i}") for i in range(10) if i not in (2, 3)}
+    want |= {(2, "v2-2"), (3, "v2-3"), (50, "v1-50")}
+    assert got == want
+    # pre-merge snapshot: original versions, no id 50
+    pre = {(r["id"], r["body"]) for r in t.scan(spark, snapshot_id=1).collect()}
+    assert pre == {(i, f"v1-{i}") for i in range(10)}
+    # a second upsert of the same key supersedes again
+    upsert(spark, path, spark.createDataFrame([(2, "en", "v3-2")],
+           "id LONG, lang STRING, body STRING"), ["id"])
+    t = IcebergTable(path)
+    bodies = {r["id"]: r["body"] for r in t.scan(spark).collect()}
+    assert bodies[2] == "v3-2" and len(bodies) == 11
+
+
 def test_iceberg_expire_snapshots(spark, tmp_path):
     """expire_snapshots drops old snapshots from metadata and physically
     removes files only they reference; the current snapshot's data
