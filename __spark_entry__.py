@@ -1579,6 +1579,34 @@ def _q_iceberg_deletes(spark, sf_dir):
     )
 
 
+def _q_iceberg_scan_all(spark, sf_dir):
+    """Current-snapshot Iceberg scan through BOTH planners in one gate:
+    the driver-side planner (partition pruning) and the executor-side
+    distributed manifest fan-out must produce the identical table — one
+    oracle x 2 planner tags."""
+    a = _q_iceberg_scan(spark, sf_dir).select(
+        F.lit("driver").alias("planner"), "source", "n_docs", "total_chars"
+    )
+    b = _q_iceberg_scan_distributed(spark, sf_dir).select(
+        F.lit("executors").alias("planner"), "source", "n_docs", "total_chars"
+    )
+    return a.unionByName(b)
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination scan (new r4): per-document 3-shingle
+    overlap against a benchmark set (here: the deterministic doc_id % 17
+    pseudo-eval subset, guaranteeing planted overlap). The op every
+    training pipeline runs before shipping a corpus — docs quoting an
+    eval suite inflate downstream scores. Linear plan: distinct benchmark
+    shingles broadcast, explode + broadcast semi-join + count."""
+    from robosat_spark.operators.dedup import benchmark_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return benchmark_overlap(docs, bench, k=3)
+
+
 def _q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-URL sketch over the pages table (new r4): the
     full register table (bucket, max_rho) plus the estimate — an EXACT
@@ -1630,9 +1658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_merge": _q_feature_merge,
         "dedupe_iou": _q_dedupe_iou,
         # new r4 gates
-        "iceberg_scan_distributed": _q_iceberg_scan_distributed,
         "iceberg_deletes": _q_iceberg_deletes,
         "hll_distinct": _q_hll_distinct,
+        "contamination": _q_contamination,
         # consolidated variant gates
         "pip_assign": _q_pip_assign_all,
         "knn": _q_knn_all,
@@ -1668,7 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover": _q_cover,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
-        "iceberg_scan": _q_iceberg_scan,
+        "iceberg_scan": _q_iceberg_scan_all,
         "iceberg_pages_pip": _q_iceberg_pages_pip,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1688,6 +1716,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = dict(queries())
     qs.update(
         {
+            "iceberg_scan": _q_iceberg_scan,
+            "iceberg_scan_distributed": _q_iceberg_scan_distributed,
             "pip_assign": _q_pip_assign,
             "pip_assign_salted": _q_pip_assign_salted,
             "pip_assign_jvm": _q_pip_assign_jvm,
@@ -2274,9 +2304,13 @@ def oracle_sql() -> dict[str, str]:
     # documents (snap 1 = ids <= (min+max)//2, snap 2 = the rest), so the
     # oracle is the plain parquet truth — current scan must equal the
     # union, snapshot 1 must equal the pre-append half
+    # consolidated: one truth x 2 planner tags (driver / executors)
     sql["iceberg_scan"] = """
-        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        FROM documents WHERE lang = 'en' GROUP BY source
+        SELECT p.planner, o.source, o.n_docs, o.total_chars
+        FROM (SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              FROM documents WHERE lang = 'en' GROUP BY source) o
+        CROSS JOIN (VALUES ('driver'), ('executors')) p(planner)
     """
     sql["iceberg_time_travel"] = """
         SELECT 'snapshot1' AS mode, lang, COUNT(*) AS n_docs, MAX(doc_id) AS edge_doc_id
@@ -2289,8 +2323,6 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id > (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 FROM documents)
         GROUP BY lang
     """
-    # the distributed manifest planner must see exactly the same table
-    sql["iceberg_scan_distributed"] = sql["iceberg_scan"]
     # v2 position deletes: scan == documents minus the tombstoned rows
     sql["iceberg_deletes"] = """
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -2301,6 +2333,23 @@ def oracle_sql() -> dict[str, str]:
     from robosat_spark.operators.sketch import hll_sql
 
     sql["hll_distinct"] = hll_sql(f"({_PAGES})", "url", p=6)
+
+    # contamination: distinct-shingle intersection with the pseudo-eval
+    # subset's shingle list (word_shingles is distinct by construction on
+    # both sides, so semi-join count == list_intersect length)
+    _shg3 = shingles_sql(3)
+    sql["contamination"] = f"""
+        WITH bench AS (
+          SELECT list(DISTINCT tok) AS toks FROM (
+            SELECT unnest({_shg3}) AS tok FROM documents WHERE doc_id % 17 = 0)
+        ),
+        d AS (SELECT doc_id, {_shg3} AS sh FROM documents)
+        SELECT doc_id, len(sh) AS n_shingles,
+               len(list_intersect(sh, toks)) AS n_hit,
+               ROUND(CAST(len(list_intersect(sh, toks)) AS DOUBLE)
+                     / GREATEST(len(sh), 1), 6) AS overlap
+        FROM d CROSS JOIN bench
+    """
 
     # mask_vectorize / halo_stitch: per-tile polygon counts and halo
     # nonzero counts pinned to the ANALYTIC constants of the axis-aligned

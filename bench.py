@@ -167,6 +167,7 @@ def main():
         "iceberg_scan_distributed",  # executor-side manifest planning (round 4)
         "iceberg_deletes",  # v2 merge-on-read position deletes (round 4)
         "hll_distinct",  # HyperLogLog register sketch (round 4)
+        "contamination",  # benchmark n-gram decontamination scan (round 4)
         "road_widths",
         "token_stats",
         "lang_id",

@@ -398,3 +398,52 @@ def shingles_sql(k: int = 3) -> str:
         f"list_distinct(list_transform(generate_series(1, greatest(len({w})-{k - 1}, 1)), "
         f"i -> array_to_string(({w})[i:i+{k - 1}], ' ')))"
     )
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, n_shingles, n_hit, overlap): per-document k-shingle
+    overlap against a benchmark/eval corpus — the DECONTAMINATION scan a
+    training pipeline runs before shipping data (docs that quote an eval
+    set inflate downstream benchmark scores; the standard remedy is
+    n-gram-overlap flagging, e.g. GPT-3 appendix C / PaLM's contamination
+    analysis).
+
+    Scale shape: the benchmark's distinct shingle set is collected-free —
+    it stays a DataFrame, deduplicated and BROADCAST (eval suites are MBs
+    against a 100 TB corpus); each doc's distinct shingles explode to one
+    row per shingle, hit-count is a broadcast LEFT SEMI equi-join +
+    groupBy count (linear in corpus shingles, no cross join), joined back
+    to the per-doc totals. Everything whole-stage codegen."""
+    bsh = bench.select(
+        F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    ).distinct()
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("sh_arr"),
+    )
+    totals = base.select("doc_id", F.size("sh_arr").alias("n_shingles"))
+    hits = (
+        base.select("doc_id", F.explode("sh_arr").alias("sh"))
+        .join(F.broadcast(bsh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.greatest("n_shingles", F.lit(1)).cast("double"),
+                6,
+            ).alias("overlap"),
+        )
+    )

@@ -168,6 +168,33 @@ def test_jaccard_prefix_boundary_threshold_055(spark):
     assert got == want
 
 
+def test_benchmark_overlap_contamination(spark):
+    """Decontamination scan: a doc equal to a benchmark doc overlaps 1.0,
+    a half-quoting doc lands in between, a disjoint doc at 0.0; the plan
+    is broadcast semi-join + hash agg, never a nested-loop join."""
+    from robosat_spark.operators.dedup import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id LONG, text STRING",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),  # exact
+            (2, "intro words the quick brown fox jumps over cliff end"),  # partial
+            (3, "completely different tokens with zero shared threegrams here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = benchmark_overlap(docs, bench, k=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["overlap"] == 1.0
+    assert 0.0 < rows[2]["overlap"] < 1.0
+    assert rows[3]["overlap"] == 0.0 and rows[3]["n_hit"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_lsh_neardup_pairs_planted_recall_no_bnlj(spark):
     """lsh_neardup_pairs: plan is a union of bucket equi-joins (no BNLJ),
     precision is exactly 1.0 vs the cosine threshold, and recall on
