@@ -201,6 +201,23 @@ def test_iceberg_position_deletes_merge_on_read(spark, tmp_path):
     assert int(snap["summary"]["added-position-deletes"]) == 10
 
 
+def test_iceberg_delete_scan_plan_is_broadcast_antijoin(spark, tmp_path):
+    """Merge-on-read must not reshuffle the data: tombstones apply as a
+    BROADCAST anti-join (no sort-merge or nested-loop join, no exchange
+    of the scan side for the delete application)."""
+    from robosat_spark.sources.iceberg import delete_rows
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(50)], "id LONG, s STRING")
+    write_iceberg(spark, df, path)
+    delete_rows(spark, path, [("id", "<", 5)])
+    scan = IcebergTable(path).scan(spark)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_iceberg_cursor_skips_delete_snapshots(spark, tmp_path):
     """An append-stream consumer must not emit a batch for a tombstone
     commit (no new rows), mirroring the replace-snapshot skip."""

@@ -41,6 +41,16 @@ def test_hll_registers_merge_by_max(spark):
     assert got == want
 
 
+def test_hll_plan_partial_aggregation(spark):
+    """The register build must be a two-phase hash aggregate (map-side
+    partial_max before the shuffle — each scan partition collapses to
+    <= 2^p rows) with no Python in the plan."""
+    df = spark.range(10_000).select(F.concat(F.lit("x"), F.col("id")).alias("s"))
+    plan = hll_buckets(df, "s", p=8)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_hll_duckdb_twin_bit_identical(spark, tmp_path):
     """The SQL twin reproduces the IDENTICAL register table and estimate
     (hash, rho, and estimator expressions are engine-replayable)."""
