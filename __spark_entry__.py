@@ -1503,14 +1503,21 @@ def _q_cell_encode_all(spark, sf_dir):
 def _q_text_metrics(spark, sf_dir):
     """Per-doc text-analysis suite in one gate: token/subword counts,
     punct/alpha ratios (token_stats), stopword ratio + composite quality
-    (quality_score), and shingle repetition (repetition_stats) — all
-    whole-stage-codegen column expressions over ONE documents scan."""
+    (quality_score), shingle repetition (repetition_stats), and the
+    Gopher-rule signals (mean word length, digit ratio, symbol-per-word,
+    bullet/ellipsis line fractions — new r4) — all whole-stage-codegen
+    column expressions over ONE documents scan."""
     from robosat_spark.functions.text import (
         alpha_ratio,
+        bullet_line_ratio,
+        digit_ratio,
+        ellipsis_line_ratio,
+        mean_word_length,
         punct_ratio,
         quality_score,
         stopword_ratio,
         subword_count,
+        symbol_word_ratio,
         token_count,
     )
     from robosat_spark.operators.dedup import word_shingles, words
@@ -1532,6 +1539,11 @@ def _q_text_metrics(spark, sf_dir):
         F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6).alias(
             "rep_ratio"
         ),
+        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+        F.round(digit_ratio(F.col("text")), 6).alias("digit_ratio"),
+        F.round(symbol_word_ratio(F.col("text")), 6).alias("symbol_word_ratio"),
+        F.round(bullet_line_ratio(F.col("text")), 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_line_ratio(F.col("text")), 6).alias("ellipsis_line_ratio"),
     )
 
 
@@ -2556,7 +2568,24 @@ def oracle_sql() -> dict[str, str]:
                GREATEST(len({wsql}) - 2, 1) AS n_shingles,
                len({shg}) AS n_distinct,
                ROUND(1.0 - CAST(len({shg}) AS DOUBLE)
-                         / CAST(GREATEST(len({wsql}) - 2, 1) AS DOUBLE), 6) AS rep_ratio
+                         / CAST(GREATEST(len({wsql}) - 2, 1) AS DOUBLE), 6) AS rep_ratio,
+               ROUND(CASE WHEN ({toks}) > 0
+                     THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                          / ({toks}) ELSE 0.0 END, 6) AS mean_word_len,
+               ROUND(CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                          / length(text) ELSE 0.0 END, 6) AS digit_ratio,
+               ROUND((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                      + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+                     / GREATEST({toks}, 1), 6) AS symbol_word_ratio,
+               ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+                                          l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+                     / GREATEST(len(regexp_split_to_array(text, '\n')), 1), 6)
+                 AS bullet_line_ratio,
+               ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+                                          l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+                     / GREATEST(len(regexp_split_to_array(text, '\n')), 1), 6)
+                 AS ellipsis_line_ratio
         FROM documents
     """
 

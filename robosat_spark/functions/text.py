@@ -63,6 +63,49 @@ def stopword_ratio(text: Column) -> Column:
     return F.when(toks > 0, stops.cast("double") / toks.cast("double")).otherwise(F.lit(0.0))
 
 
+def mean_word_length(text: Column) -> Column:
+    """Mean whitespace-token length (Gopher rule: corpora with mean word
+    length outside ~[3, 10] are mostly boilerplate/garbage). Computed as
+    non-whitespace chars / token count — identical to summing token
+    lengths for a whitespace split, without a higher-order pass."""
+    n = token_count(text)
+    chars = F.length(F.regexp_replace(text, r"\s", ""))
+    return F.when(n > 0, chars.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def digit_ratio(text: Column) -> Column:
+    """Fraction of characters that are digits (tables/serials score high)."""
+    n = F.length(text)
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return F.when(n > 0, digits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# + ellipsis) symbols per word (Gopher: > 0.1 flags spam/truncated
+    scrapes). Ellipses counted as non-overlapping '...' runs."""
+    hashes = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    ell = (F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / F.lit(3)
+    return (hashes + ell).cast("double") / F.greatest(token_count(text), F.lit(1)).cast(
+        "double"
+    )
+
+
+def bullet_line_ratio(text: Column) -> Column:
+    """Fraction of lines starting with a bullet (-, *, •) — Gopher flags
+    > 90% bullet lines as list-boilerplate."""
+    lines = F.split(text, "\n")
+    bullets = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    return bullets.cast("double") / F.greatest(F.size(lines), F.lit(1)).cast("double")
+
+
+def ellipsis_line_ratio(text: Column) -> Column:
+    """Fraction of lines ending with an ellipsis ('...' or U+2026) —
+    Gopher flags > 30% as truncated-preview boilerplate."""
+    lines = F.split(text, "\n")
+    ell = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    return ell.cast("double") / F.greatest(F.size(lines), F.lit(1)).cast("double")
+
+
 def quality_score(text: Column) -> Column:
     """Composite document-quality score in [0, 1]: length band + alpha ratio
     + moderate punctuation + stopword presence (heuristic quality scoring

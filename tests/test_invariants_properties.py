@@ -31,6 +31,47 @@ def test_text_extraction_byte_identical_per_url(spark):
     assert multi == 0
 
 
+def test_gopher_quality_signals(spark):
+    """Gopher-rule signals on crafted texts: bullet/ellipsis line ratios,
+    digit ratio, symbol-per-word, mean word length — each pinned on an
+    input built to exercise it (the synthetic documents fixture rarely
+    contains bullets/ellipses, so the gate alone can't pin semantics)."""
+    import pyspark.sql.functions as F
+
+    from robosat_spark.functions.text import (
+        bullet_line_ratio,
+        digit_ratio,
+        ellipsis_line_ratio,
+        mean_word_length,
+        symbol_word_ratio,
+    )
+
+    rows = [
+        (1, "- one\n- two\nplain\n* three"),          # 3 of 4 bullet lines
+        (2, "read more...\nfull text here\nteaser…"),  # 2 of 3 ellipsis lines
+        (3, "serial 12345 67890"),                     # digits 10 / 18 chars
+        (4, "## tags ## here"),                        # 4 hashes / 4 tokens
+        (5, "aa bbbb cc"),                             # mean word len 8/3
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            F.round(bullet_line_ratio(F.col("text")), 6).alias("bullet"),
+            F.round(ellipsis_line_ratio(F.col("text")), 6).alias("ellipsis"),
+            F.round(digit_ratio(F.col("text")), 6).alias("digit"),
+            F.round(symbol_word_ratio(F.col("text")), 6).alias("symbol"),
+            F.round(mean_word_length(F.col("text")), 6).alias("mwl"),
+        ).collect()
+    }
+    assert got[1]["bullet"] == 0.75
+    assert got[2]["ellipsis"] == round(2 / 3, 6)
+    assert got[3]["digit"] == round(10 / 18, 6)
+    assert got[4]["symbol"] == 1.0
+    assert got[5]["mwl"] == round(8 / 3, 6)
+
+
 def test_extraction_parallelism_invariant(spark):
     """Same rows at any partitioning: 1-partition and 32-partition builds
     produce identical sorted (url, text) sets (north-rule determinism)."""
