@@ -453,14 +453,24 @@ def write_iceberg(
     return snap_id
 
 
-def compact_table(spark, table_path: str, target_files: int = 1) -> int:
+def compact_table(spark, table_path: str, target_files: int = 1,
+                  sort_by: str | None = None) -> int:
     """The ``rewrite_data_files`` maintenance action: rewrite the CURRENT
     snapshot's data into ``target_files`` files per partition value and
     commit a REPLACE snapshot whose manifest list references only the
     compacted manifest. Logical content is unchanged (same rows); older
     snapshots still reference the original files, so time travel keeps
     working, and incremental cursors skip replace snapshots (no new
-    rows). Returns the new snapshot id."""
+    rows). Returns the new snapshot id.
+
+    ``sort_by`` rewrites CLUSTERED by a column (the rewrite_data_files
+    sort strategy): files are range-partitioned and sorted on it, so its
+    per-file lower/upper bounds become tight disjoint intervals and the
+    connector's bounds pruning (_prune_file) skips most files for a range
+    predicate — point this at a stored Morton/cell column and the Iceberg
+    scan becomes the Z-order spatially-pruned layout (the engine's
+    storage-level answer to hot-region queries at 100 TB). The sort
+    column is added to the manifest stats so pruning has its bounds."""
     from pyspark.sql import functions as F
 
     t = IcebergTable(table_path)
@@ -475,10 +485,26 @@ def compact_table(spark, table_path: str, target_files: int = 1) -> int:
     part_col = spec_fields[0]["name"] if spec_fields else None
     # keep the same stats columns the existing manifests carry
     stats_cols = _existing_stats_cols(t)
+    if sort_by and sort_by not in stats_cols:
+        stats_cols = stats_cols + (sort_by,)
 
     df = t.scan(spark)
     data_dir = os.path.join(table_path, "data", f"snap-{snap_id}")
-    if part_col:
+    if sort_by and part_col:
+        w = (
+            df.withColumn("__part", F.col(part_col))
+            .repartition(target_files, F.col("__part"))
+            .sortWithinPartitions("__part", sort_by)
+        )
+        w.write.partitionBy("__part").mode("overwrite").parquet(data_dir)
+    elif sort_by:
+        (
+            df.repartitionByRange(target_files, F.col(sort_by))
+            .sortWithinPartitions(sort_by)
+            .write.mode("overwrite")
+            .parquet(data_dir)
+        )
+    elif part_col:
         w = df.withColumn("__part", F.col(part_col)).repartition(target_files, F.col("__part"))
         w.write.partitionBy("__part").mode("overwrite").parquet(data_dir)
     else:

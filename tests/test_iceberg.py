@@ -359,6 +359,32 @@ def test_iceberg_upsert(spark, tmp_path):
     assert bodies[2] == "v3-2" and len(bodies) == 11
 
 
+def test_iceberg_clustered_compaction_prunes_range_scans(spark, tmp_path):
+    """compact_table(sort_by=...) rewrites the table clustered on a
+    column: per-file bounds become tight disjoint intervals, so a range
+    predicate prunes most files at planning time (the Z-order-into-
+    Iceberg layout when pointed at a stored Morton column)."""
+    from robosat_spark.sources.iceberg import compact_table
+
+    path = str(tmp_path / "tbl")
+    # shuffled write: values interleave across files -> no pruning possible
+    df = spark.createDataFrame(
+        [((i * 7919) % 10_000, i) for i in range(10_000)], "morton LONG, id LONG"
+    ).repartition(8)
+    write_iceberg(spark, df, path, stats_cols=("morton",))
+    t = IcebergTable(path)
+    _tasks, rep0 = t.plan_files(filters=[("morton", "<", 1000)])
+    assert rep0["files_pruned"] == 0  # interleaved: bounds cover everything
+
+    compact_table(spark, path, target_files=8, sort_by="morton")
+    t = IcebergTable(path)
+    tasks, rep = t.plan_files(filters=[("morton", "<", 1000)])
+    assert rep["files_total"] == 8 and rep["files_pruned"] >= 6, rep
+    got = t.scan(spark, filters=[("morton", "<", 1000)]).count()
+    assert got == 1000
+    assert t.scan(spark).count() == 10_000
+
+
 def test_iceberg_expire_snapshots(spark, tmp_path):
     """expire_snapshots drops old snapshots from metadata and physically
     removes files only they reference; the current snapshot's data
