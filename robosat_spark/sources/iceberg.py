@@ -631,6 +631,11 @@ def delete_rows(spark, table_path: str, filters=None, timestamp_ms: int | None =
     correctly never touches them. Returns the new snapshot id."""
     from pyspark.sql import functions as F
 
+    if not filters and predicate is None:
+        raise ValueError(
+            "delete_rows with no filters and no predicate would tombstone "
+            "every row; pass an explicit predicate (or use expire/drop paths)"
+        )
     t = IcebergTable(table_path)
     meta = t.meta
     v = current_version(table_path)

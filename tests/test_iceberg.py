@@ -164,6 +164,10 @@ def test_iceberg_position_deletes_merge_on_read(spark, tmp_path):
     write_iceberg(spark, df, path, partition_by="lang", stats_cols=("doc_id",),
                   timestamp_ms=1000)
 
+    # an unfiltered delete would silently tombstone the whole table
+    with pytest.raises(ValueError):
+        delete_rows(spark, path)
+
     snap2 = delete_rows(spark, path, [("doc_id", "<", 10)])
     t = IcebergTable(path)
     assert snap2 == 2
