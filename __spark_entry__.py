@@ -1513,6 +1513,8 @@ def _q_text_metrics(spark, sf_dir):
         digit_ratio,
         ellipsis_line_ratio,
         mean_word_length,
+        pii_email_count,
+        pii_ipv4_count,
         punct_ratio,
         quality_score,
         stopword_ratio,
@@ -1544,6 +1546,8 @@ def _q_text_metrics(spark, sf_dir):
         F.round(symbol_word_ratio(F.col("text")), 6).alias("symbol_word_ratio"),
         F.round(bullet_line_ratio(F.col("text")), 6).alias("bullet_line_ratio"),
         F.round(ellipsis_line_ratio(F.col("text")), 6).alias("ellipsis_line_ratio"),
+        pii_email_count(F.col("text")).alias("n_pii_emails"),
+        pii_ipv4_count(F.col("text")).alias("n_pii_ips"),
     )
 
 
@@ -2585,7 +2589,11 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\n'),
                                           l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
                      / GREATEST(len(regexp_split_to_array(text, '\n')), 1), 6)
-                 AS ellipsis_line_ratio
+                 AS ellipsis_line_ratio,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_pii_emails,
+               len(regexp_extract_all(text,
+                   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_pii_ips
         FROM documents
     """
 

@@ -148,6 +148,31 @@ def content_fingerprint(text: Column) -> Column:
     return F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("long")
 
 
+# PII patterns kept to RE2-compatible constructs (char classes + \b) so the
+# SAME pattern strings run in Spark (Java regex) and DuckDB (RE2) with
+# identical match sets — no lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_email_count(text: Column) -> Column:
+    """Email-address occurrences (the most common PII class a web-corpus
+    pipeline must count/scrub before release)."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long")
+
+
+def pii_ipv4_count(text: Column) -> Column:
+    """IPv4-literal occurrences (server logs / dumps leaking into text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), F.lit(0))).cast("long")
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrubbed text: emails -> <EMAIL>, IPv4 literals -> <IP>. Pure
+    vectorized regexp_replace — the release-time redaction pass."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
 def extract_text_from_html(html: Column) -> Column:
     """Deterministic text extraction from the html payload (G27 / the
     input_hint per-row invariant: byte-identical extracted text per url).

@@ -72,6 +72,31 @@ def test_gopher_quality_signals(spark):
     assert got[5]["mwl"] == round(8 / 3, 6)
 
 
+def test_pii_detection_and_redaction(spark):
+    """PII pass: email/IPv4 counts and the redaction rewrite (the
+    release-time scrub every public corpus gets)."""
+    import pyspark.sql.functions as F
+
+    from robosat_spark.functions.text import (
+        pii_email_count,
+        pii_ipv4_count,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-1.org and d@e.io from 10.0.0.255 port 80 v1.2.3")],
+        "id LONG, text STRING",
+    )
+    r = df.select(
+        pii_email_count(F.col("text")).alias("e"),
+        pii_ipv4_count(F.col("text")).alias("i"),
+        redact_pii(F.col("text")).alias("t"),
+    ).first()
+    assert r["e"] == 2
+    assert r["i"] == 1  # v1.2.3 is not a 4-octet literal
+    assert r["t"] == "mail <EMAIL> and <EMAIL> from <IP> port 80 v1.2.3"
+
+
 def test_extraction_parallelism_invariant(spark):
     """Same rows at any partitioning: 1-partition and 32-partition builds
     produce identical sorted (url, text) sets (north-rule determinism)."""
