@@ -201,6 +201,46 @@ def cmd_serve(spark, args):
         srv.serve_forever()
 
 
+def cmd_table(spark, args):
+    """Iceberg table maintenance over the from-scratch connector
+    (sources/iceberg.py): snapshot listing, compaction (optionally
+    clustered), row deletes by range predicate, snapshot expiry."""
+    from .sources.iceberg import (
+        IcebergTable,
+        compact_table,
+        delete_rows,
+        expire_snapshots,
+    )
+
+    if args.action == "snapshots":
+        t = IcebergTable(args.path)
+        for s in t.snapshots():
+            print(
+                f"id={s['snapshot-id']} ts={s['timestamp-ms']} "
+                f"op={s.get('summary', {}).get('operation')}"
+            )
+    elif args.action == "compact":
+        sid = compact_table(
+            spark, args.path, target_files=args.target_files, sort_by=args.sort_by
+        )
+        print(f"compacted -> snapshot {sid}")
+    elif args.action == "delete":
+        col, op, lit = args.where.split(":", 2)
+        value: object = lit
+        try:
+            value = int(lit)
+        except ValueError:
+            try:
+                value = float(lit)
+            except ValueError:
+                pass
+        sid = delete_rows(spark, args.path, [(col, op, value)])
+        print(f"deleted rows where {col} {op} {value!r} -> snapshot {sid}")
+    elif args.action == "expire":
+        n = expire_snapshots(args.path, keep_last=args.keep_last)
+        print(f"expired {n} snapshots")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="robosat_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -263,6 +303,16 @@ def build_parser():
     sv.add_argument("--requests", type=int, default=0,
                     help="serve N requests then exit (0 = forever)")
     sv.set_defaults(func=cmd_serve)
+
+    tb = sub.add_parser("table"); tb.add_argument("action",
+        choices=["snapshots", "compact", "delete", "expire"])
+    tb.add_argument("--path", required=True)
+    tb.add_argument("--target-files", type=int, default=1)
+    tb.add_argument("--sort-by", default=None)
+    tb.add_argument("--where", default=None,
+                    help="delete predicate as col:op:value (op in = < <= > >=)")
+    tb.add_argument("--keep-last", type=int, default=1)
+    tb.set_defaults(func=cmd_table)
     return p
 
 

@@ -143,6 +143,33 @@ def test_cli_download_local_template_resume(spark, tmp_path):
     assert not any(f.endswith(".tmp") for f in os.listdir(out / "18" / "1"))
 
 
+def test_cli_table_maintenance(spark, tmp_path, capsys):
+    """`table` subcommand: snapshots / delete / compact(sort_by) / expire
+    drive the Iceberg maintenance actions end-to-end over files."""
+    from robosat_spark.__main__ import main
+    from robosat_spark.sources.iceberg import IcebergTable, write_iceberg
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [((i * 7919) % 1000, i) for i in range(1000)], "morton LONG, id LONG"
+    ).repartition(4)
+    write_iceberg(spark, df, path, stats_cols=("morton",))
+
+    main(["table", "delete", "--path", path, "--where", "id:<:100"], spark=spark)
+    assert IcebergTable(path).scan(spark).count() == 900
+    main(["table", "compact", "--path", path, "--target-files", "4",
+          "--sort-by", "morton"], spark=spark)
+    t = IcebergTable(path)
+    assert t.scan(spark).count() == 900
+    _tasks, rep = t.plan_files(filters=[("morton", "<", 100)])
+    assert rep["files_pruned"] >= 2, rep
+    main(["table", "expire", "--path", path, "--keep-last", "1"], spark=spark)
+    assert len(IcebergTable(path).snapshots()) == 1
+    main(["table", "snapshots", "--path", path], spark=spark)
+    out = capsys.readouterr().out
+    assert "op=replace" in out
+
+
 def test_cli_serve_http_roundtrip(spark, tmp_path):
     """`serve`: real HTTP GET /z/x/y.png against the stdlib server returns
     the same bytes as the direct serve_tile_png call; unknown tile -> 404."""
