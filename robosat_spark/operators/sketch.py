@@ -36,34 +36,38 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_buckets(df: DataFrame, col: str, p: int = 6) -> DataFrame:
-    """-> (bucket, max_rho): the HLL register table.
+def hll_register_exprs(col: str, p: int = 6) -> tuple[Column, Column]:
+    """(bucket, rho) column expressions of the HLL register update.
 
     bucket = top ``p`` bits of the 60-bit hash; rho = 1-based position of
     the highest set bit counted from the top of the remaining ``60 - p``
     bits (all-zero residual -> 60 - p + 1). The msb position is derived
     from the base-2 digit count (Spark ``conv(x, 10, 2)`` / DuckDB
     ``bin(x)`` — same digit strings), keeping both engines bit-identical.
-    Only non-empty buckets are materialized (<= 2^p rows total)."""
+    Shared by the batch register build and the streaming register state
+    (streaming.ingest.streaming_hll_registers)."""
     w = 60 - p
     h = _hash60(F.col(col))
-    bucket = F.shiftright(h, w)
     rest = h.bitwiseAND(F.lit((1 << w) - 1))
     rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
         F.lit(w) - F.length(F.conv(rest, 10, 2)) + 1
     )
-    return (
-        df.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("max_rho"))
-    )
+    return F.shiftright(h, w).alias("bucket"), rho.cast("int").alias("rho")
 
 
-def hll_estimate(buckets: DataFrame, p: int = 6) -> Column:
-    """1-row aggregate over a register table -> the HLL cardinality
-    estimate (raw estimator + FFGM07 small-range linear counting when
-    E <= 2.5m and empty registers exist), rounded to 4 decimals so an
-    engine ulp in the 2^-rho sum can't flip the value hash."""
+def hll_buckets(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """-> (bucket, max_rho): the HLL register table. Only non-empty
+    buckets are materialized (<= 2^p rows total)."""
+    bucket, rho = hll_register_exprs(col, p)
+    return df.select(bucket, rho).groupBy("bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_estimate(buckets: DataFrame | None = None, p: int = 6) -> Column:
+    """Aggregate COLUMN over a register table (any df with max_rho; apply
+    via ``regs.agg(hll_estimate(p=p))``) -> the HLL cardinality estimate
+    (raw estimator + FFGM07 small-range linear counting when E <= 2.5m
+    and empty registers exist), rounded to 4 decimals so an engine ulp in
+    the 2^-rho sum can't flip the value hash."""
     m = 1 << p
     z_nonempty = F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
     v = F.lit(float(m)) - F.count("*")  # empty registers (contribute 2^0)

@@ -90,6 +90,22 @@ def streaming_tile_counts(
     )
 
 
+def streaming_hll_registers(pages: DataFrame, col: str = "url", p: int = 6) -> DataFrame:
+    """HyperLogLog register table ON A STREAM: running distinct-count
+    state for a continuously ingested corpus. The register build is a
+    plain streaming groupBy-MAX — at most 2^p state rows regardless of
+    stream length (the minimal possible state for a distinct count), and
+    the output registers are at every point IDENTICAL to the batch
+    ``operators.sketch.hll_buckets`` over the rows seen so far (the same
+    expression objects), so the batch estimator reads the streamed
+    registers directly. No watermark needed: registers are monotone
+    (MAX never retracts), making this exactly-once under replay for free."""
+    from ..operators.sketch import hll_register_exprs
+
+    bucket, rho = hll_register_exprs(col, p)
+    return pages.select(bucket, rho).groupBy("bucket").agg(F.max("rho").alias("max_rho"))
+
+
 def streaming_feature_counts(
     pages: DataFrame,
     features: DataFrame,

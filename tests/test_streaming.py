@@ -46,6 +46,33 @@ def test_streaming_tile_counts_match_batch(spark, pages_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_hll_registers_match_batch(spark, pages_dir, tmp_path):
+    """Streamed HLL registers == batch hll_buckets over the same files
+    (monotone MAX state, <= 2^p rows), so the batch estimator reads the
+    streamed state directly."""
+    from robosat_spark.operators.sketch import hll_buckets, hll_estimate
+    from robosat_spark.streaming.ingest import streaming_hll_registers
+
+    stream = streaming_pages(spark, pages_dir)
+    regs = streaming_hll_registers(stream, col="url", p=7)
+    run_available_now(regs, str(tmp_path / "ckpt_hll"), "hll_regs", mode="complete")
+    got = {
+        (r["bucket"], r["max_rho"])
+        for r in spark.sql("select * from hll_regs").collect()
+    }
+    batch = hll_buckets(spark.read.parquet(pages_dir), "url", p=7)
+    want = {(r["bucket"], r["max_rho"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    # the batch estimator reads the streamed registers directly
+    est = (
+        spark.sql("select * from hll_regs")
+        .agg(hll_estimate(p=7))
+        .first()["estimate"]
+    )
+    n = spark.read.parquet(pages_dir).select("url").distinct().count()
+    assert abs(est - n) / n < 0.25  # p=7 -> ~9% standard error
+
+
 def test_streaming_dedup_urls(spark, pages_dir, tmp_path):
     stream = streaming_pages(spark, pages_dir)
     deduped = streaming_latest_snapshot(stream).select("url")
