@@ -2,7 +2,8 @@
 
 from .ingest import (  # noqa: F401
     PAGES_SCHEMA,
+    streaming_hll_registers,
+    streaming_latest_snapshot,
     streaming_pages,
     streaming_tile_counts,
-    streaming_latest_snapshot,
 )
