@@ -72,6 +72,44 @@ def test_gopher_quality_signals(spark):
     assert got[5]["mwl"] == round(8 / 3, 6)
 
 
+def test_url_domain_filtering(spark):
+    """URL curation ops: host/registered-domain extraction, blocklist
+    anti-join (no BNLJ), per-domain composition counts."""
+    import pyspark.sql.functions as F
+
+    from robosat_spark.functions.urls import (
+        domain_counts,
+        filter_blocklisted_domains,
+        registered_domain,
+        url_host,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.b.example.com/x?q=1"),
+            (2, "http://spam.biz/landing"),
+            (3, "https://docs.example.com/y"),
+            (4, "https://other.org/z"),
+        ],
+        "id LONG, url STRING",
+    )
+    r = pages.select(
+        "id", url_host(F.col("url")).alias("h"), registered_domain(F.col("url")).alias("d")
+    ).collect()
+    got = {x["id"]: (x["h"], x["d"]) for x in r}
+    assert got[1] == ("a.b.example.com", "example.com")
+    assert got[2] == ("spam.biz", "spam.biz")
+
+    bl = spark.createDataFrame([("spam.biz",)], "domain STRING")
+    kept = filter_blocklisted_domains(pages, bl)
+    assert {x["id"] for x in kept.collect()} == {1, 3, 4}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    counts = {x["domain"]: x["n_pages"] for x in domain_counts(pages).collect()}
+    assert counts["example.com"] == 2 and counts["spam.biz"] == 1
+
+
 def test_pii_detection_and_redaction(spark):
     """PII pass: email/IPv4 counts and the redaction rewrite (the
     release-time scrub every public corpus gets)."""
