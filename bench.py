@@ -313,20 +313,33 @@ def main():
             payload["queries_8cpu_error"] = str(e)[:200]
 
     print(json.dumps(payload))
-    # The driver captures only a stdout TAIL: in r3 the trial arrays pushed
-    # the headline JSON out of the window (BENCH_r03 parsed: null, 32-cpu
-    # record lost). Re-print a compact summary (headline + per-query mins
-    # at both cpu levels, NO trial arrays) as the LAST line so truncation
-    # can never eat it; the full payload above keeps the raw trials.
+    # Also persist the full payload to a file so the record survives any
+    # stdout truncation (BENCH/ is committed; the driver only keeps a tail).
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "bench_full_latest.json"), "w") as f:
+            json.dump(payload, f, indent=2)
+    except OSError:
+        pass
+    # The driver captures only a ~2000-CHAR stdout TAIL: r3's trial arrays
+    # and r4's "compact" line (which still carried BOTH full per-query
+    # dicts, ~4 KB) each pushed the headline out of the window -> BENCH
+    # parsed: null two rounds running. The LAST line must be small on its
+    # own: headline + sf/cpus + the 10 slowest 32-cpu query mins, nothing
+    # else. Full per-query dicts live on the line above and in
+    # BENCH/bench_full_latest.json.
     compact = {
         k: payload[k]
-        for k in ("metric", "value", "unit", "trials", "sf", "cpus", "joined_rows",
-                  "steal_pct")
+        for k in ("metric", "value", "unit", "trials", "sf", "cpus", "joined_rows")
     }
-    compact["queries"] = payload["queries"]
-    if "queries_8cpu" in payload:
-        compact["queries_8cpu"] = payload["queries_8cpu"]
-    print(json.dumps(compact))
+    compact["steal_pct"] = payload["steal_pct"].get("flagship")
+    compact["slowest"] = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    last_line = json.dumps(compact)
+    assert len(last_line) < 1900, f"last bench line {len(last_line)} chars (cap 1900)"
+    print(last_line)
 
 
 if __name__ == "__main__":

@@ -225,7 +225,13 @@ def cmd_table(spark, args):
         )
         print(f"compacted -> snapshot {sid}")
     elif args.action == "delete":
+        if not args.where or args.where.count(":") < 2:
+            raise SystemExit(
+                "table delete requires --where col:op:value (op in = < <= > >=)"
+            )
         col, op, lit = args.where.split(":", 2)
+        if op not in ("=", "<", "<=", ">", ">="):
+            raise SystemExit(f"unsupported delete op {op!r} (use = < <= > >=)")
         value: object = lit
         try:
             value = int(lit)

@@ -17,17 +17,73 @@ def url_host(url: Column) -> Column:
     return F.parse_url(url, F.lit("HOST"))
 
 
+# Second-level ccTLD composites from the ICANN section of the public
+# suffix list (publicsuffix.org) — the high-traffic registries. A host
+# whose last TWO labels are here gets a three-label registered domain
+# (bbc.co.uk), every other host the plain last-two rule. Without this a
+# blocklist join keyed on the last-two heuristic maps bbc.co.uk ->
+# co.uk and one composite blocklist entry over-blocks a whole registry
+# (r4 VERDICT item 4).
+PUBLIC_SUFFIX_2LABEL: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk", "plc.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "co.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "gob.mx", "edu.mx", "net.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "firm.in", "ind.in", "ac.in", "edu.in", "gov.in",
+    "co.kr", "or.kr", "go.kr", "ac.kr", "ne.kr", "re.kr",
+    "com.tw", "org.tw", "gov.tw", "edu.tw", "net.tw",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk",
+    "co.id", "or.id", "ac.id", "go.id", "web.id",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "co.th", "or.th", "go.th", "ac.th", "in.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.ph", "net.ph", "org.ph", "gov.ph",
+    "com.eg", "com.sa", "com.pk", "com.bd", "com.np", "com.lk",
+    "co.il", "org.il", "ac.il", "gov.il", "net.il",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua",
+    "com.co", "net.co", "org.co",
+    "com.pe", "com.ve", "co.ve", "com.ec", "com.uy", "com.py", "com.bo",
+    "co.cr", "com.do", "com.gt", "com.ni", "com.pa", "com.sv", "com.hn",
+    "com.ng", "co.ke", "or.ke", "co.tz", "co.ug", "com.gh", "com.et",
+)
+
+
 def registered_domain(url: Column) -> Column:
-    """Last-two-label registered-domain heuristic (example.co from
-    a.b.example.co). A public-suffix list would refine ccTLD composites
-    (example.co.uk); the heuristic is deterministic and list-free, which
-    is what a blocklist join needs."""
+    """eTLD+1: the label left of the public suffix. ccTLD composites use
+    the embedded :data:`PUBLIC_SUFFIX_2LABEL` subset (news.bbc.co.uk ->
+    bbc.co.uk); everything else the last-two-label rule (a.b.example.com
+    -> example.com); single-label hosts pass through. Deterministic and
+    list-pinned — exactly what a blocklist join needs."""
     parts = F.split(url_host(url), r"\.")
     n = F.size(parts)
-    return F.when(
-        n >= 2,
-        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
-    ).otherwise(url_host(url))
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3), last2)
+    return (
+        F.when((n >= 3) & last2.isin(*PUBLIC_SUFFIX_2LABEL), last3)
+        .when(n >= 2, last2)
+        .otherwise(url_host(url))
+    )
+
+
+def registered_domain_sql(host_expr: str) -> str:
+    """DuckDB twin of :func:`registered_domain` over a host SQL expression
+    (same suffix set, same label arithmetic — negative list indexing is
+    1-based from the tail in both engines)."""
+    suffixes = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIX_2LABEL)
+    p = f"string_split({host_expr}, '.')"
+    last2 = f"({p}[-2] || '.' || {p}[-1])"
+    last3 = f"({p}[-3] || '.' || {p}[-2] || '.' || {p}[-1])"
+    return (
+        f"(CASE WHEN len({p}) >= 3 AND {last2} IN ({suffixes}) THEN {last3} "
+        f"WHEN len({p}) >= 2 THEN {last2} ELSE {host_expr} END)"
+    )
 
 
 def filter_blocklisted_domains(

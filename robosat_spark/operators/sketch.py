@@ -62,7 +62,7 @@ def hll_buckets(df: DataFrame, col: str, p: int = 6) -> DataFrame:
     return df.select(bucket, rho).groupBy("bucket").agg(F.max("rho").alias("max_rho"))
 
 
-def hll_estimate(buckets: DataFrame | None = None, p: int = 6) -> Column:
+def hll_estimate(p: int = 6) -> Column:
     """Aggregate COLUMN over a register table (any df with max_rho; apply
     via ``regs.agg(hll_estimate(p=p))``) -> the HLL cardinality estimate
     (raw estimator + FFGM07 small-range linear counting when E <= 2.5m
@@ -85,7 +85,7 @@ def hll_distinct(df: DataFrame, col: str, p: int = 6) -> DataFrame:
     aggregate — keeps the full sketch state AND its readout in one
     result for gating/inspection)."""
     b = hll_buckets(df, col, p)
-    est = b.agg(hll_estimate(b, p))
+    est = b.agg(hll_estimate(p=p))
     return b.crossJoin(F.broadcast(est))
 
 

@@ -169,6 +169,16 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "op=replace" in out
 
+    # r5 ADVICE: missing/malformed --where is a usage error, not a crash
+    import pytest
+
+    with pytest.raises(SystemExit, match="requires --where"):
+        main(["table", "delete", "--path", path], spark=spark)
+    with pytest.raises(SystemExit, match="requires --where"):
+        main(["table", "delete", "--path", path, "--where", "id<100"], spark=spark)
+    with pytest.raises(SystemExit, match="unsupported delete op"):
+        main(["table", "delete", "--path", path, "--where", "id:!=:100"], spark=spark)
+
 
 def test_cli_serve_http_roundtrip(spark, tmp_path):
     """`serve`: real HTTP GET /z/x/y.png against the stdlib server returns

@@ -1,0 +1,35 @@
+"""Driver-window invariants for __spark_entry__ (r4 VERDICT item 5: a
+stale gate-count comment is how gates silently fall out of the driver's
+50-entry CORRECTNESS window)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry
+
+DRIVER_WINDOW = 50
+
+
+def test_queries_fit_driver_window():
+    qs = entry.queries()
+    assert len(qs) <= DRIVER_WINDOW, (
+        f"{len(qs)} queries() entries exceed the driver's {DRIVER_WINDOW}-entry "
+        "CORRECTNESS window — gates past the cap are never verified"
+    )
+    # pin the exact count so adding a gate forces a conscious decision
+    # about which entry to consolidate/fold
+    assert len(qs) == 50
+
+
+def test_every_oracle_key_is_a_query():
+    qs = set(entry.queries())
+    orphans = set(entry.oracle_sql()) - qs
+    assert not orphans, f"oracle_sql keys with no queries() entry: {sorted(orphans)}"
+
+
+def test_bench_queries_superset_of_gates():
+    # the bench must be able to time every gated query (it re-expands
+    # consolidated gates into per-variant plans, never drops one)
+    missing = set(entry.queries()) - set(entry.bench_queries())
+    assert not missing, f"gated queries missing from bench_queries: {sorted(missing)}"

@@ -100,6 +100,32 @@ def test_url_domain_filtering(spark):
     assert got[1] == ("a.b.example.com", "example.com")
     assert got[2] == ("spam.biz", "spam.biz")
 
+    # public-suffix composites (r5): eTLD+1 keeps the org label — the
+    # last-two heuristic would map every *.co.uk host to co.uk and a
+    # single composite blocklist entry would wipe the whole registry
+    psl = spark.createDataFrame(
+        [
+            (1, "https://www.bbc.co.uk/news"),
+            (2, "https://shop.example.com.au/x"),
+            (3, "https://example.co.uk/y"),
+            (4, "https://co.uk/z"),
+        ],
+        "id LONG, url STRING",
+    )
+    doms = {
+        x["id"]: x["d"]
+        for x in psl.select(
+            "id", registered_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    assert doms[1] == "bbc.co.uk"
+    assert doms[2] == "example.com.au"
+    assert doms[3] == "example.co.uk"
+    assert doms[4] == "co.uk"  # bare suffix host passes through
+    bl_uk = spark.createDataFrame([("bbc.co.uk",)], "domain STRING")
+    kept_uk = {x["id"] for x in filter_blocklisted_domains(psl, bl_uk).collect()}
+    assert kept_uk == {2, 3, 4}  # only bbc.co.uk blocked, not the registry
+
     bl = spark.createDataFrame([("spam.biz",)], "domain STRING")
     kept = filter_blocklisted_domains(pages, bl)
     assert {x["id"] for x in kept.collect()} == {1, 3, 4}
