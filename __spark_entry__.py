@@ -709,6 +709,54 @@ def _q_ann_ivf(spark, sf_dir):
     return out.select("query_id", "item_id", "rank", F.round("sim", 6).alias("sim"))
 
 
+def _q_ann_all(spark, sf_dir):
+    """ANN brute-force baseline ∪ IVF scale path in ONE tagged gate (r5
+    consolidation — identical (query_id, item_id, rank, sim) schemas;
+    the freed driver slot went to cms_tokens). The bench still times the
+    two plans separately under their historical names."""
+    a = _q_ann_cosine(spark, sf_dir).select(F.lit("brute").alias("part"), "*")
+    b = _q_ann_ivf(spark, sf_dir).select(F.lit("ivf").alias("part"), "*")
+    return a.unionByName(b)
+
+
+def _q_cms_tokens(spark, sf_dir):
+    """Count-Min Sketch token-frequency gate (new r5 — the heavy-hitter
+    companion to hll_distinct, completing the re-aggregatable sketch
+    family a 100 TB corpus lineage runs on): part='register' is the full
+    d=4 x w=256 counter table (cell-wise SUM-mergeable across table
+    slices), part='estimate' the CMS point estimate for the exact top-20
+    tokens, part='exact' their true counts — so the gate value-pins the
+    sketch AND exhibits the overestimate guarantee (est >= exact) next
+    to it. Same engine-replayable md5 hash as the HLL: the DuckDB twin
+    reproduces every counter exactly — an exact value gate over an
+    approximate operator."""
+    from robosat_spark.operators.dedup import words
+    from robosat_spark.operators.sketch import cms_buckets, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words(F.lower(F.col("text")))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    regs = cms_buckets(toks, "token", d=4, w=256)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    est = cms_estimate(regs, top.select("token"), "token", d=4, w=256)
+    reg_rows = regs.select(
+        F.lit("register").alias("part"),
+        F.format_string("%d:%d", "row", "col").alias("key"),
+        F.col("cnt").alias("n"),
+    )
+    est_rows = est.select(
+        F.lit("estimate").alias("part"), F.col("token").alias("key"), F.col("est").alias("n")
+    )
+    exact_rows = top.select(F.lit("exact").alias("part"), F.col("token").alias("key"), "n")
+    return reg_rows.unionByName(est_rows).unionByName(exact_rows)
+
+
 def _q_knn_label_accuracy_ivf(spark, sf_dir):
     """The SCALE path of the kNN-classification eval (gates the last weak
     plan from round 2): ann_ivf candidates (Lloyd's quantizer, nprobe=4)
@@ -1787,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 gates (iceberg_deletes extended r5: position ∪ upsert)
         "iceberg_deletes": _q_iceberg_deletes,
         "hll_distinct": _q_hll_distinct,
+        "cms_tokens": _q_cms_tokens,
         "contamination": _q_contamination,
         # consolidated variant gates
         "pip_assign": _q_pip_assign_all,
@@ -1818,7 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
         "knn_label_accuracy": _q_knn_label_accuracy,
-        "ann_cosine": _q_ann_cosine,
+        "ann_cosine": _q_ann_all,
         "cover": _q_cover,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
@@ -1826,7 +1875,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_pages_pip": _q_iceberg_pages_pip,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
-        "ann_ivf": _q_ann_ivf,
         "knn_label_accuracy_ivf": _q_knn_label_accuracy_ivf,
         "road_widths": _q_road_widths,
         "top_tokens": _q_top_tokens,
@@ -1858,6 +1906,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token_stats": _q_token_stats,
             "quality_score": _q_quality_score,
             "repetition_stats": _q_repetition_stats,
+            "ann_cosine": _q_ann_cosine,
+            "ann_ivf": _q_ann_ivf,
         }
     )
     return qs
@@ -2616,7 +2666,7 @@ def oracle_sql() -> dict[str, str]:
     _cos_qc = f"ROUND({cosine_sim_sql('q.qvec', 'c.cvec')}, 9)"
     _cos_aq = f"ROUND({cosine_sim_sql('a.v', 'p.qvec')}, 9)"
     _cos_bq = f"ROUND({cosine_sim_sql('b.v', 'q.qvec')}, 9)"
-    sql["ann_ivf"] = f"""
+    _ivf_ann_sql = f"""
         WITH {_ivf_ctes()},
         q AS (SELECT item_id AS query_id, v AS qvec FROM base WHERE item_id < 3),
         probes AS (
@@ -2749,7 +2799,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _css = cosine_sim_sql
-    sql["ann_cosine"] = f"""
+    _brute_ann_sql = f"""
         WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT query_id, item_id, rank, ROUND(sim, 6) AS sim
         FROM (
@@ -2761,6 +2811,42 @@ def oracle_sql() -> dict[str, str]:
           WHERE e.vec_id != q.vec_id
         )
         WHERE rank <= 5
+    """
+    # r5 consolidation: brute baseline ∪ IVF scale path, one tagged gate
+    sql["ann_cosine"] = f"""
+        SELECT 'brute' AS part, t.* FROM ({_brute_ann_sql}) t
+        UNION ALL
+        SELECT 'ivf' AS part, t.* FROM ({_ivf_ann_sql}) t
+    """
+
+    from robosat_spark.operators.sketch import cms_sql
+
+    # Count-Min Sketch over lowercased whitespace tokens (new r5): the
+    # twin replays every counter (same row-salted md5 cell hash), the
+    # exact top-20, and the min-over-rows estimates
+    _cms_regs = cms_sql("toks", "token", d=4, w=256)
+    sql["cms_tokens"] = f"""
+        WITH toks AS (
+          SELECT token FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents)
+          WHERE token != ''
+        ),
+        regs AS ({_cms_regs}),
+        top AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+                ORDER BY n DESC, token ASC LIMIT 20),
+        est AS (
+          SELECT t.token, MIN(COALESCE(r.cnt, 0)) AS est
+          FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row) i
+          LEFT JOIN regs r ON r.row = i.row
+            AND r.col = (('0x' || substr(md5(CAST(i.row AS VARCHAR) || '|' || t.token), 1, 15))::BIGINT % 256)
+          GROUP BY t.token
+        )
+        SELECT 'register' AS part, printf('%d:%d', row, col) AS key, cnt AS n FROM regs
+        UNION ALL
+        SELECT 'estimate' AS part, token AS key, est AS n FROM est
+        UNION ALL
+        SELECT 'exact' AS part, token AS key, n FROM top
     """
 
     return sql

@@ -167,6 +167,8 @@ def main():
         "iceberg_scan_distributed",  # executor-side manifest planning (round 4)
         "iceberg_deletes",  # v2 merge-on-read position deletes (round 4)
         "hll_distinct",  # HyperLogLog register sketch (round 4)
+        "cms_tokens",  # Count-Min token-frequency sketch (round 5)
+        "url_curation",  # domain extraction/blocklist/redaction gate (round 5)
         "contamination",  # benchmark n-gram decontamination scan (round 4)
         "road_widths",
         "token_stats",

@@ -89,6 +89,79 @@ def hll_distinct(df: DataFrame, col: str, p: int = 6) -> DataFrame:
     return b.crossJoin(F.broadcast(est))
 
 
+def cms_cell(col: Column, row: int, w: int) -> Column:
+    """Column index of ``col``'s counter in CMS row ``row`` (width ``w``):
+    the row-salted 60-bit md5 hash mod w. Nonnegative hash, so ``pmod``
+    equals SQL ``%`` and DuckDB replays it verbatim."""
+    return F.pmod(_hash60(F.concat(F.lit(f"{row}|"), col)), F.lit(w))
+
+
+def cms_buckets(df: DataFrame, col: str, d: int = 4, w: int = 256) -> DataFrame:
+    """-> (row, col, cnt): the Count-Min Sketch counter table (Cormode &
+    Muthukrishnan 2005, "An improved data stream summary: the count-min
+    sketch and its applications") — the heavy-hitter / point-frequency
+    companion to the HLL distinct sketch.
+
+    Each input value increments one counter per row (d row-salted
+    hashes); a point estimate is the MIN over its d counters, an
+    overestimate by construction and within eps*N with d=ceil(ln 1/δ),
+    w=ceil(e/eps). Scale shape mirrors :func:`hll_buckets`: the explode
+    fans each scan row to d cells, map-side combine collapses every
+    partition to <= d*w rows before the shuffle, and sketches of table
+    slices merge by cell-wise SUM — the re-aggregatable token-frequency
+    metric a 100 TB corpus lineage needs (exact top-k over 10^9 distinct
+    tokens shuffles every token; the sketch ships d*w longs)."""
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), cms_cell(F.col(col), i, w).alias("col"))
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(buckets: DataFrame, probes: DataFrame, col: str,
+                 d: int = 4, w: int = 256) -> DataFrame:
+    """-> probes + (est): CMS point-frequency estimate per probe value —
+    MIN over the d row counters (0 for a value the sketch never saw).
+    ``buckets`` is small (<= d*w rows) and broadcast; the probe side
+    never shuffles."""
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), cms_cell(F.col(col), i, w).alias("col"))
+            for i in range(d)
+        ]
+    )
+    probed = probes.withColumn("rc", F.explode(cells)).select(
+        *probes.columns, F.col("rc.row").alias("row"), F.col("rc.col").alias("col")
+    )
+    joined = probed.join(F.broadcast(buckets), ["row", "col"], "left")
+    return (
+        joined.groupBy(*probes.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_sql(values_cte: str, col: str, d: int = 4, w: int = 256) -> str:
+    """DuckDB twin of :func:`cms_buckets` as a CTE body. ``values_cte``
+    is a FROM-able fragment exposing column ``col``; yields a relation
+    (row, col, cnt) with the identical row-salted md5 cell hash."""
+    cell = (
+        f"(('0x' || substr(md5(CAST(i.row AS VARCHAR) || '|' || {col}), 1, 15))::BIGINT"
+        f" % {w})"
+    )
+    rows = ", ".join(str(i) for i in range(d))
+    return f"""
+        SELECT i.row AS row, {cell} AS col, COUNT(*) AS cnt
+        FROM {values_cte} CROSS JOIN (SELECT unnest([{rows}]) AS row) i
+        GROUP BY 1, 2
+    """
+
+
 def hll_sql(table_expr: str, col: str, p: int = 6) -> str:
     """DuckDB twin of :func:`hll_distinct` (identical hash, rho, and
     estimator expressions). ``table_expr`` is a FROM-able SQL fragment."""

@@ -1,10 +1,18 @@
-"""HyperLogLog distinct-count sketch: accuracy, mergeability, and the
-DuckDB twin's bit-identical registers."""
+"""Distinct-count (HyperLogLog) and point-frequency (Count-Min) sketches:
+accuracy, mergeability, guarantees, and the DuckDB twins' bit-identical
+counter/register tables."""
 
 import duckdb
 import pyspark.sql.functions as F
 
-from robosat_spark.operators.sketch import hll_buckets, hll_distinct, hll_sql
+from robosat_spark.operators.sketch import (
+    cms_buckets,
+    cms_estimate,
+    cms_sql,
+    hll_buckets,
+    hll_distinct,
+    hll_sql,
+)
 
 
 def test_hll_accuracy_p12(spark):
@@ -49,6 +57,75 @@ def test_hll_plan_partial_aggregation(spark):
     plan = hll_buckets(df, "s", p=8)._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_cms_overestimate_and_exactness(spark):
+    """CMS guarantees: every point estimate >= the true count (counters
+    only ever add), and with few distinct values vs cells the estimate
+    is exactly the true count (no collisions to inflate it)."""
+    df = spark.range(1000).select(F.concat(F.lit("t"), F.col("id") % 7).alias("s"))
+    regs = cms_buckets(df, "s", d=4, w=256)
+    truth = df.groupBy("s").agg(F.count("*").alias("n"))
+    est = cms_estimate(regs, truth, "s", d=4, w=256)
+    rows = est.collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["est"] >= r["n"]
+    # 7 values in 256 cells: the min-row estimate is exact w.h.p. for
+    # this fixed deterministic hash family (verified: no row collides)
+    assert all(r["est"] == r["n"] for r in rows)
+
+
+def test_cms_unseen_value_estimates_zero(spark):
+    df = spark.range(100).select(F.concat(F.lit("a"), F.col("id")).alias("s"))
+    regs = cms_buckets(df, "s", d=4, w=64)
+    probe = spark.createDataFrame([("never-seen-token-xyz",)], "s STRING")
+    r = cms_estimate(regs, probe, "s", d=4, w=64).first()
+    # a small sketch of 100 values may collide on some rows, but with
+    # d=4 independent rows at least one row cell is empty here
+    assert r["est"] == 0
+
+
+def test_cms_registers_merge_by_sum(spark):
+    """Re-aggregation property (the 100 TB story): sketching two table
+    slices separately and merging cell-wise by SUM equals sketching the
+    whole — CMS counters are linear."""
+    df = spark.range(2000).select(F.concat(F.lit("m"), F.col("id") % 50).alias("s"))
+    whole = cms_buckets(df, "s", d=4, w=128)
+    a = cms_buckets(df.filter(F.col("id") % 2 == 0), "s", d=4, w=128)
+    b = cms_buckets(df.filter(F.col("id") % 2 == 1), "s", d=4, w=128)
+    merged = (
+        a.unionByName(b).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r["row"], r["col"], r["cnt"]) for r in merged.collect()}
+    want = {(r["row"], r["col"], r["cnt"]) for r in whole.collect()}
+    assert got == want
+
+
+def test_cms_plan_partial_aggregation(spark):
+    """The counter build must be a two-phase hash aggregate (map-side
+    partial count collapses each scan partition to <= d*w rows) with no
+    Python in the plan."""
+    df = spark.range(10_000).select(F.concat(F.lit("x"), F.col("id")).alias("s"))
+    plan = cms_buckets(df, "s", d=4, w=256)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_cms_duckdb_twin_bit_identical(spark, tmp_path):
+    """The SQL twin reproduces the IDENTICAL counter table (row-salted
+    md5 cell hash is engine-replayable)."""
+    df = spark.range(500).select(F.concat(F.lit("c"), F.col("id") % 40).alias("s"))
+    got = {
+        (r["row"], r["col"], r["cnt"])
+        for r in cms_buckets(df, "s", d=4, w=64).collect()
+    }
+    path = str(tmp_path / "cmsvals.parquet")
+    df.write.parquet(path)
+    con = duckdb.connect()
+    q = cms_sql(f"(SELECT s FROM '{path}/*.parquet')", "s", d=4, w=64)
+    want = {tuple(r) for r in con.execute(q).fetchall()}
+    assert got == want
 
 
 def test_hll_duckdb_twin_bit_identical(spark, tmp_path):
