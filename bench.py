@@ -84,6 +84,61 @@ def _steal_pct(before, after):
     return round(100.0 * ds / max(1, dt), 2)
 
 
+# module-level so tests can assert every name still resolves in
+# entry.bench_queries() — run_suite silently skips unknown names, which
+# would otherwise drop a query from the record without any signal
+BENCH_QUERY_NAMES = [
+    "tile_encode",
+    "hex_encode",
+    "tile_pyramid_rollup",
+    "pip_assign",
+    "knn",
+    "tile_adjacency",
+    "latest_event_per_user",
+    "sessionize",
+    "sessionize_gaps",
+    "rollup_events",
+    "users_retained",
+    "event_type_pivot",
+    "asof_click_before_purchase",
+    # embedding_neardup stays out: the exact all-pairs correctness demo
+    # is O(n^2) by definition; its scale path is embedding_neardup_lsh
+    "embedding_neardup_lsh",
+    "dedup_simhash_pairs",  # banded (linear) since round 2
+    "knn_cells",
+    "pip_assign_jvm",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_prefix",  # exact prefix-filter join (round 3)
+    "dedup_simhash",
+    "dedup_clusters",
+    "iceberg_scan",  # from-scratch Iceberg connector (round 3)
+    "iceberg_time_travel",
+    "iceberg_scan_distributed",  # executor-side manifest planning (round 4)
+    "iceberg_deletes",  # v2 merge-on-read position deletes (round 4)
+    "hll_distinct",  # HyperLogLog register sketch (round 4)
+    "cms_tokens",  # Count-Min token-frequency sketch (round 5)
+    "url_curation",  # domain extraction/blocklist/redaction gate (round 5)
+    "contamination",  # benchmark n-gram decontamination scan (round 4)
+    "road_widths",
+    "token_stats",
+    "lang_id",
+    "lang_confusion",
+    "quality_score",
+    "repetition_stats",
+    "top_tokens",
+    "value_quantiles",
+    "knn_label_accuracy",
+    "knn_label_accuracy_ivf",
+    "ann_cosine",
+    "ann_ivf",
+    "morton_bbox",
+    "cover",
+    "pricing_summary",
+    "market_join",
+]
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -137,56 +192,7 @@ def main():
     # unioned entries (r4); the bench keeps timing each variant under its
     # historical name so per-query walls stay diffable round-over-round
     qs = entry.bench_queries()
-    bench_queries = [
-        "tile_encode",
-        "hex_encode",
-        "tile_pyramid_rollup",
-        "pip_assign",
-        "knn",
-        "tile_adjacency",
-        "latest_event_per_user",
-        "sessionize",
-        "sessionize_gaps",
-        "rollup_events",
-        "users_retained",
-        "event_type_pivot",
-        "asof_click_before_purchase",
-        # embedding_neardup stays out: the exact all-pairs correctness demo
-        # is O(n^2) by definition; its scale path is embedding_neardup_lsh
-        "embedding_neardup_lsh",
-        "dedup_simhash_pairs",  # banded (linear) since round 2
-        "knn_cells",
-        "pip_assign_jvm",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_jaccard_prefix",  # exact prefix-filter join (round 3)
-        "dedup_simhash",
-        "dedup_clusters",
-        "iceberg_scan",  # from-scratch Iceberg connector (round 3)
-        "iceberg_time_travel",
-        "iceberg_scan_distributed",  # executor-side manifest planning (round 4)
-        "iceberg_deletes",  # v2 merge-on-read position deletes (round 4)
-        "hll_distinct",  # HyperLogLog register sketch (round 4)
-        "cms_tokens",  # Count-Min token-frequency sketch (round 5)
-        "url_curation",  # domain extraction/blocklist/redaction gate (round 5)
-        "contamination",  # benchmark n-gram decontamination scan (round 4)
-        "road_widths",
-        "token_stats",
-        "lang_id",
-        "lang_confusion",
-        "quality_score",
-        "repetition_stats",
-        "top_tokens",
-        "value_quantiles",
-        "knn_label_accuracy",
-        "knn_label_accuracy_ivf",
-        "ann_cosine",
-        "ann_ivf",
-        "morton_bbox",
-        "cover",
-        "pricing_summary",
-        "market_join",
-    ]
+    bench_queries = BENCH_QUERY_NAMES
     # warmup: spin Python workers + JIT/codegen once so the first timed
     # query isn't charged the session's fixed startup costs
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -16,6 +16,10 @@ GeoJSON for features), call the operator, write parquet/GeoJSON.
     python -m robosat_spark weights   --masks M [--classes 2] [--out O]
     python -m robosat_spark download  --tiles T.csv --url TPL --out DIR
     python -m robosat_spark serve     --grids G [--port 5000]
+    python -m robosat_spark table     {snapshots,compact,delete,expire} --path T
+    python -m robosat_spark curate    --pages P --out O [--blocklist F]
+                                      [--min-quality Q] [--redact]
+    python -m robosat_spark sketch    {hll,cms} --path P --col C [--out O]
 
 Reference tool parity: cover/rasterize/predict/masks/features/merge/dedupe/
 subset/compare/weights/download/serve map to the 14-tool registry of
@@ -247,6 +251,56 @@ def cmd_table(spark, args):
         print(f"expired {n} snapshots")
 
 
+def cmd_curate(spark, args):
+    """Web-corpus curation pass over a pages/documents parquet: domain
+    blocklist filter (eTLD+1, public-suffix aware) + optional PII
+    redaction + optional quality floor — the source-level filter stack
+    every training corpus runs before tokenization. Writes the surviving
+    rows; prints kept/dropped counts."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import quality_score, redact_pii
+    from .functions.urls import filter_blocklisted_domains
+
+    df = spark.read.parquet(args.pages)
+    n_in = df.count()
+    if args.blocklist:
+        bl = spark.read.text(args.blocklist).select(
+            F.trim(F.col("value")).alias("domain")
+        ).filter(F.col("domain") != "")
+        df = filter_blocklisted_domains(df, bl, url_col=args.url_col)
+    if args.min_quality is not None:
+        df = df.filter(quality_score(F.col(args.text_col)) >= args.min_quality)
+    if args.redact:
+        df = df.withColumn(args.text_col, redact_pii(F.col(args.text_col)))
+    df.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    print(f"curate: kept {n_out}/{n_in} rows -> {args.out}")
+
+
+def cmd_sketch(spark, args):
+    """Distinct-count (HLL) or point-frequency (CMS) sketch over one
+    column of a parquet table: writes the register/counter table (the
+    re-aggregatable slice artifact) and prints the readout."""
+    from pyspark.sql import functions as F
+
+    from .operators.sketch import cms_buckets, hll_buckets, hll_estimate
+
+    df = spark.read.parquet(args.path)
+    if args.kind == "hll":
+        regs = hll_buckets(df, args.col, p=args.p)
+        if args.out:
+            regs.write.mode("overwrite").parquet(args.out)
+        est = regs.agg(hll_estimate(p=args.p)).first()["estimate"]
+        print(f"hll p={args.p}: estimated {est:.1f} distinct {args.col}")
+    else:
+        regs = cms_buckets(df, args.col, d=args.d, w=args.w)
+        if args.out:
+            regs.write.mode("overwrite").parquet(args.out)
+        top = regs.agg(F.max("cnt").alias("m")).first()["m"]
+        print(f"cms d={args.d} w={args.w}: counter table written, max cell {top}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="robosat_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -319,6 +373,24 @@ def build_parser():
                     help="delete predicate as col:op:value (op in = < <= > >=)")
     tb.add_argument("--keep-last", type=int, default=1)
     tb.set_defaults(func=cmd_table)
+
+    cu = sub.add_parser("curate"); cu.add_argument("--pages", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--blocklist", default=None,
+                    help="text file, one blocked registered domain per line")
+    cu.add_argument("--url-col", default="url")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--min-quality", type=float, default=None)
+    cu.add_argument("--redact", action="store_true",
+                    help="rewrite emails/IPv4 literals to placeholder tokens")
+    cu.set_defaults(func=cmd_curate)
+
+    sk = sub.add_parser("sketch"); sk.add_argument("kind", choices=["hll", "cms"])
+    sk.add_argument("--path", required=True); sk.add_argument("--col", required=True)
+    sk.add_argument("--out", default=None)
+    sk.add_argument("--p", type=int, default=12)
+    sk.add_argument("--d", type=int, default=4); sk.add_argument("--w", type=int, default=4096)
+    sk.set_defaults(func=cmd_sketch)
     return p
 
 

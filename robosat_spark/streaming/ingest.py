@@ -106,6 +106,34 @@ def streaming_hll_registers(pages: DataFrame, col: str = "url", p: int = 6) -> D
     return pages.select(bucket, rho).groupBy("bucket").agg(F.max("rho").alias("max_rho"))
 
 
+def streaming_cms_registers(
+    pages: DataFrame, col: str = "url", d: int = 4, w: int = 256
+) -> DataFrame:
+    """Count-Min counter table ON A STREAM (new r5 — the frequency
+    companion to :func:`streaming_hll_registers`): running token/URL
+    frequency state for a continuously ingested corpus. A plain
+    streaming groupBy-COUNT over the d row-salted cells — at most d*w
+    state rows regardless of stream length, and at every point IDENTICAL
+    to the batch ``operators.sketch.cms_buckets`` over the rows seen so
+    far (the same cell expressions), so ``cms_estimate`` reads the
+    streamed counters directly. Counters are monotone under append-only
+    input (COUNT never retracts), so no watermark is needed and replay
+    is exactly-once for free."""
+    from ..operators.sketch import cms_cell
+
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), cms_cell(F.col(col), i, w).alias("col"))
+            for i in range(d)
+        ]
+    )
+    return (
+        pages.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def streaming_feature_counts(
     pages: DataFrame,
     features: DataFrame,

@@ -180,6 +180,40 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
         main(["table", "delete", "--path", path, "--where", "id:!=:100"], spark=spark)
 
 
+def test_cli_curate_and_sketch(spark, tmp_path, capsys):
+    """`curate` (blocklist + quality floor + redaction) and `sketch`
+    (HLL/CMS register artifacts) drive the corpus-curation ops e2e."""
+    from robosat_spark.__main__ import main
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://www.bbc.co.uk/a", "good text with enough words to pass " * 5),
+            (2, "https://x.spam.biz/b", "short"),
+            (3, "https://ok.example.com/c", "contact me a@b.io now " * 10),
+        ],
+        "id LONG, url STRING, text STRING",
+    )
+    src = str(tmp_path / "pages"); pages.write.parquet(src)
+    bl = tmp_path / "bl.txt"; bl.write_text("spam.biz\n")
+    out = str(tmp_path / "kept")
+    main(["curate", "--pages", src, "--out", out, "--blocklist", str(bl),
+          "--redact"], spark=spark)
+    kept = spark.read.parquet(out)
+    ids = {r["id"] for r in kept.collect()}
+    assert ids == {1, 3}  # spam.biz dropped via registered domain
+    texts = {r["id"]: r["text"] for r in kept.collect()}
+    assert "<EMAIL>" in texts[3] and "a@b.io" not in texts[3]
+
+    regs_out = str(tmp_path / "hll_regs")
+    main(["sketch", "hll", "--path", src, "--col", "url", "--out", regs_out,
+          "--p", "8"], spark=spark)
+    assert "estimated" in capsys.readouterr().out
+    assert spark.read.parquet(regs_out).count() <= 256
+    main(["sketch", "cms", "--path", src, "--col", "url", "--w", "64"],
+         spark=spark)
+    assert "counter table" in capsys.readouterr().out
+
+
 def test_cli_serve_http_roundtrip(spark, tmp_path):
     """`serve`: real HTTP GET /z/x/y.png against the stdlib server returns
     the same bytes as the direct serve_tile_png call; unknown tile -> 404."""

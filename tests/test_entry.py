@@ -33,3 +33,13 @@ def test_bench_queries_superset_of_gates():
     # consolidated gates into per-variant plans, never drops one)
     missing = set(entry.queries()) - set(entry.bench_queries())
     assert not missing, f"gated queries missing from bench_queries: {sorted(missing)}"
+
+
+def test_bench_name_list_resolves():
+    # bench.py's run_suite silently SKIPS names missing from
+    # bench_queries(), which would drop a query from the record with no
+    # signal — pin every listed name to a real callable
+    import bench
+
+    unresolved = set(bench.BENCH_QUERY_NAMES) - set(entry.bench_queries())
+    assert not unresolved, f"bench names with no query fn: {sorted(unresolved)}"

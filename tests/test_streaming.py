@@ -73,6 +73,37 @@ def test_streaming_hll_registers_match_batch(spark, pages_dir, tmp_path):
     assert abs(est - n) / n < 0.25  # p=7 -> ~9% standard error
 
 
+def test_streaming_cms_registers_match_batch(spark, pages_dir, tmp_path):
+    """Streamed CMS counters == batch cms_buckets over the same files
+    (monotone COUNT state, <= d*w rows), so cms_estimate reads the
+    streamed state directly."""
+    from robosat_spark.operators.sketch import cms_buckets, cms_estimate
+    from robosat_spark.streaming.ingest import streaming_cms_registers
+
+    stream = streaming_pages(spark, pages_dir)
+    regs = streaming_cms_registers(stream, col="url", d=4, w=64)
+    run_available_now(regs, str(tmp_path / "ckpt_cms"), "cms_regs", mode="complete")
+    got = {
+        (r["row"], r["col"], r["cnt"])
+        for r in spark.sql("select * from cms_regs").collect()
+    }
+    batch = cms_buckets(spark.read.parquet(pages_dir), "url", d=4, w=64)
+    want = {(r["row"], r["col"], r["cnt"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    # the batch point-estimator reads the streamed counters: a known url
+    # estimates >= its true count
+    probe = spark.read.parquet(pages_dir).select("url").limit(1)
+    true_n = (
+        spark.read.parquet(pages_dir)
+        .join(probe, "url", "left_semi")
+        .count()
+    )
+    est = cms_estimate(
+        spark.sql("select * from cms_regs"), probe, "url", d=4, w=64
+    ).first()["est"]
+    assert est >= true_n > 0
+
+
 def test_streaming_dedup_urls(spark, pages_dir, tmp_path):
     stream = streaming_pages(spark, pages_dir)
     deduped = streaming_latest_snapshot(stream).select("url")
