@@ -291,23 +291,9 @@ def _iceberg_documents_path(spark, sf_dir: str) -> str:
     file stats — so the gated queries exercise snapshot isolation, time
     travel, partition pruning, and bounds pruning on real Avro manifests
     (sources/iceberg.py, from the public Iceberg spec)."""
-    import hashlib
-    import os
-    import tempfile
+    from robosat_spark.sources.iceberg import write_iceberg
 
-    from robosat_spark.sources.iceberg import current_version, write_iceberg
-
-    doc_dir = os.path.join(sf_dir, "documents.parquet")
-    st_parts = []
-    for p in ([doc_dir] if os.path.isfile(doc_dir) else sorted(
-        os.path.join(doc_dir, f) for f in os.listdir(doc_dir) if f.endswith(".parquet")
-    )):
-        st = os.stat(p)
-        st_parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
-    key = hashlib.md5("|".join(st_parts).encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"robosat_iceberg_{key}")
-    if current_version(path) < 2:
-        docs = spark.read.parquet(doc_dir)
+    def build(docs, path):
         mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
         thr = (int(mn) + int(mx)) // 2
         write_iceberg(
@@ -318,7 +304,8 @@ def _iceberg_documents_path(spark, sf_dir: str) -> str:
             spark, docs.filter(F.col("doc_id") > thr), path,
             partition_by="lang", stats_cols=("doc_id", "n_chars"), timestamp_ms=2000,
         )
-    return path
+
+    return _iceberg_documents_fixture(spark, sf_dir, "docs", 2, build)
 
 
 def _q_iceberg_scan(spark, sf_dir):
@@ -1626,8 +1613,12 @@ def _q_url_curation(spark, sf_dir):
     domain (functions/urls.py, embedded public-suffix subset);
     part='survivors' is the page count surviving the broadcast-anti-join
     domain blocklist; part='redacted_fp' is a 48-bit-md5 content
-    fingerprint SUM over redact_pii(text) (emails -> <EMAIL>, IPv4 ->
-    <IP>), value-pinning the release-time redaction pass. ``documents``
+    fingerprint XOR over redact_pii(text) (emails -> <EMAIL>, IPv4 ->
+    <IP>), value-pinning the release-time redaction pass (XOR, not SUM:
+    a sum of 2^47-scale fingerprints overflows int64 past ~65k docs —
+    Spark would wrap silently while DuckDB's HUGEINT sum throws on the
+    BIGINT cast; XOR is order-insensitive and width-stable at any corpus
+    size). ``documents``
     carries no url column, so one is synthesized deterministically from
     doc_id over 12 host shapes (both engines replay the same printf)."""
     from robosat_spark.functions.text import redact_pii
@@ -1658,21 +1649,27 @@ def _q_url_curation(spark, sf_dir):
             .cast("long")
             .alias("fp")
         )
-        .agg(F.sum("fp").alias("n"))
-        .select(F.lit("redacted_fp").alias("part"), F.lit("md5_48bit_sum").alias("key"), "n")
+        .agg(F.expr("bit_xor(fp)").alias("n"))
+        .select(F.lit("redacted_fp").alias("part"), F.lit("md5_48bit_xor").alias("key"), "n")
     )
     return counts.unionByName(survivors).unionByName(red)
 
 
-def _iceberg_deleted_documents_path(spark, sf_dir: str) -> str:
-    """Build-once Iceberg table over ``documents`` with a POSITION-DELETE
-    snapshot tombstoning ``doc_id % 7 == 0`` — the v2 merge-on-read
-    row-level delete surface under a value gate."""
+def _iceberg_documents_fixture(spark, sf_dir: str, tag: str, target_version: int,
+                               build) -> str:
+    """Build-once Iceberg fixture over ``documents``, keyed by the input
+    parquet stat fingerprint. Crash-idempotent: a table below
+    ``target_version`` is a partial build (e.g. the base append committed
+    but the delete/upsert step did not), so it is REMOVED and rebuilt
+    from scratch — re-running ``build`` on a half-built table would
+    append the base rows a second time and the stable cache key would
+    then pin the corrupt table forever."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
-    from robosat_spark.sources.iceberg import current_version, delete_rows, write_iceberg
+    from robosat_spark.sources.iceberg import current_version
 
     doc_dir = os.path.join(sf_dir, "documents.parquet")
     st_parts = []
@@ -1681,16 +1678,28 @@ def _iceberg_deleted_documents_path(spark, sf_dir: str) -> str:
     )):
         st = os.stat(p)
         st_parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
-    key = hashlib.md5(("deletes|" + "|".join(st_parts)).encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"robosat_iceberg_del_{key}")
-    if current_version(path) < 2:
-        docs = spark.read.parquet(doc_dir)
+    key = hashlib.md5((tag + "|" + "|".join(st_parts)).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"robosat_iceberg_{tag}_{key}")
+    if current_version(path) < target_version:
+        shutil.rmtree(path, ignore_errors=True)
+        build(spark.read.parquet(doc_dir), path)
+    return path
+
+
+def _iceberg_deleted_documents_path(spark, sf_dir: str) -> str:
+    """Build-once Iceberg table over ``documents`` with a POSITION-DELETE
+    snapshot tombstoning ``doc_id % 7 == 0`` — the v2 merge-on-read
+    row-level delete surface under a value gate."""
+    from robosat_spark.sources.iceberg import delete_rows, write_iceberg
+
+    def build(docs, path):
         write_iceberg(
             spark, docs, path, partition_by="lang", stats_cols=("doc_id",),
             timestamp_ms=1000,
         )
         delete_rows(spark, path, predicate=F.col("doc_id") % 7 == 0, timestamp_ms=2000)
-    return path
+
+    return _iceberg_documents_fixture(spark, sf_dir, "del", 2, build)
 
 
 def _iceberg_upserted_documents_path(spark, sf_dir: str) -> str:
@@ -1699,23 +1708,9 @@ def _iceberg_upserted_documents_path(spark, sf_dir: str) -> str:
     via equality-delete-by-key + append — the v2 MERGE primitive a
     mutable 100 TB table lives on, under a value gate (r4 VERDICT item 3:
     this path was pytest-only)."""
-    import hashlib
-    import os
-    import tempfile
+    from robosat_spark.sources.iceberg import upsert, write_iceberg
 
-    from robosat_spark.sources.iceberg import current_version, upsert, write_iceberg
-
-    doc_dir = os.path.join(sf_dir, "documents.parquet")
-    st_parts = []
-    for p in ([doc_dir] if os.path.isfile(doc_dir) else sorted(
-        os.path.join(doc_dir, f) for f in os.listdir(doc_dir) if f.endswith(".parquet")
-    )):
-        st = os.stat(p)
-        st_parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
-    key = hashlib.md5(("upsert|" + "|".join(st_parts)).encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"robosat_iceberg_ups_{key}")
-    if current_version(path) < 3:
-        docs = spark.read.parquet(doc_dir)
+    def build(docs, path):
         write_iceberg(
             spark, docs, path, partition_by="lang", stats_cols=("doc_id",),
             timestamp_ms=1000,
@@ -1724,7 +1719,8 @@ def _iceberg_upserted_documents_path(spark, sf_dir: str) -> str:
             "n_chars", F.col("n_chars") + F.lit(1000000)
         )
         upsert(spark, path, changed, key_cols=["doc_id"], timestamp_ms=2000)
-    return path
+
+    return _iceberg_documents_fixture(spark, sf_dir, "ups", 3, build)
 
 
 def _q_iceberg_deletes(spark, sf_dir):
@@ -2017,8 +2013,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'survivors' AS part, 'total' AS key, COUNT(*) AS n
         FROM dom WHERE domain NOT IN ({_blocked})
         UNION ALL
-        SELECT 'redacted_fp' AS part, 'md5_48bit_sum' AS key,
-               CAST(SUM(('0x' || substr(md5({_redacted}), 1, 12))::BIGINT) AS BIGINT) AS n
+        SELECT 'redacted_fp' AS part, 'md5_48bit_xor' AS key,
+               bit_xor(('0x' || substr(md5({_redacted}), 1, 12))::BIGINT) AS n
         FROM documents
     """
 

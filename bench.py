@@ -345,8 +345,25 @@ def main():
     compact["slowest"] = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    # north-rule number from the most recent tools/bench_scaling.py run
+    # (pinned-core pair measurement — not re-measurable inside this
+    # unpinned suite process), so the per-round record carries it
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "scaling_latest.json")) as f:
+            compact["eff_2to8_recorded"] = json.load(f)["value"]
+    except (OSError, KeyError, ValueError):
+        pass
+    # degrade, never die: an assert here would abort AFTER the multi-KB
+    # full payload printed, leaving it as the last stdout line — the
+    # exact truncation pathology this block exists to prevent (and -O
+    # strips asserts). Trim the slowest list until the line fits.
     last_line = json.dumps(compact)
-    assert len(last_line) < 1900, f"last bench line {len(last_line)} chars (cap 1900)"
+    while len(last_line) >= 1900 and compact["slowest"]:
+        compact["slowest"].popitem()
+        last_line = json.dumps(compact)
+    if len(last_line) >= 1900:  # pragma: no cover - headline alone fits
+        last_line = json.dumps({"metric": payload["metric"], "value": payload["value"]})
     print(last_line)
 
 

@@ -59,23 +59,27 @@ def registered_domain(url: Column) -> Column:
     """eTLD+1: the label left of the public suffix. ccTLD composites use
     the embedded :data:`PUBLIC_SUFFIX_2LABEL` subset (news.bbc.co.uk ->
     bbc.co.uk); everything else the last-two-label rule (a.b.example.com
-    -> example.com); single-label hosts pass through. Deterministic and
-    list-pinned — exactly what a blocklist join needs."""
-    parts = F.split(url_host(url), r"\.")
+    -> example.com); single-label hosts pass through. The host is
+    lowercased first — DNS names are case-insensitive, and a mixed-case
+    host must not dodge the suffix rule or a blocklist join.
+    Deterministic and list-pinned — exactly what a blocklist join needs."""
+    host = F.lower(url_host(url))
+    parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
     last3 = F.concat_ws(".", F.element_at(parts, -3), last2)
     return (
         F.when((n >= 3) & last2.isin(*PUBLIC_SUFFIX_2LABEL), last3)
         .when(n >= 2, last2)
-        .otherwise(url_host(url))
+        .otherwise(host)
     )
 
 
 def registered_domain_sql(host_expr: str) -> str:
     """DuckDB twin of :func:`registered_domain` over a host SQL expression
-    (same suffix set, same label arithmetic — negative list indexing is
-    1-based from the tail in both engines)."""
+    (same suffix set, same lowercasing, same label arithmetic — negative
+    list indexing is 1-based from the tail in both engines)."""
+    host_expr = f"lower({host_expr})"
     suffixes = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIX_2LABEL)
     p = f"string_split({host_expr}, '.')"
     last2 = f"({p}[-2] || '.' || {p}[-1])"

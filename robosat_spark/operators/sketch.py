@@ -96,6 +96,18 @@ def cms_cell(col: Column, row: int, w: int) -> Column:
     return F.pmod(_hash60(F.concat(F.lit(f"{row}|"), col)), F.lit(w))
 
 
+def _cms_cells(col: str, d: int, w: int) -> Column:
+    """array<struct<row,col>> of all d counter cells for one value — the
+    single definition both the counter build and the estimator explode
+    (shared so the hashes can never drift apart)."""
+    return F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), cms_cell(F.col(col), i, w).alias("col"))
+            for i in range(d)
+        ]
+    )
+
+
 def cms_buckets(df: DataFrame, col: str, d: int = 4, w: int = 256) -> DataFrame:
     """-> (row, col, cnt): the Count-Min Sketch counter table (Cormode &
     Muthukrishnan 2005, "An improved data stream summary: the count-min
@@ -111,14 +123,8 @@ def cms_buckets(df: DataFrame, col: str, d: int = 4, w: int = 256) -> DataFrame:
     slices merge by cell-wise SUM — the re-aggregatable token-frequency
     metric a 100 TB corpus lineage needs (exact top-k over 10^9 distinct
     tokens shuffles every token; the sketch ships d*w longs)."""
-    cells = F.array(
-        *[
-            F.struct(F.lit(i).alias("row"), cms_cell(F.col(col), i, w).alias("col"))
-            for i in range(d)
-        ]
-    )
     return (
-        df.select(F.explode(cells).alias("rc"))
+        df.select(F.explode(_cms_cells(col, d, w)).alias("rc"))
         .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -130,13 +136,7 @@ def cms_estimate(buckets: DataFrame, probes: DataFrame, col: str,
     MIN over the d row counters (0 for a value the sketch never saw).
     ``buckets`` is small (<= d*w rows) and broadcast; the probe side
     never shuffles."""
-    cells = F.array(
-        *[
-            F.struct(F.lit(i).alias("row"), cms_cell(F.col(col), i, w).alias("col"))
-            for i in range(d)
-        ]
-    )
-    probed = probes.withColumn("rc", F.explode(cells)).select(
+    probed = probes.withColumn("rc", F.explode(_cms_cells(col, d, w))).select(
         *probes.columns, F.col("rc.row").alias("row"), F.col("rc.col").alias("col")
     )
     joined = probed.join(F.broadcast(buckets), ["row", "col"], "left")

@@ -118,20 +118,14 @@ def streaming_cms_registers(
     far (the same cell expressions), so ``cms_estimate`` reads the
     streamed counters directly. Counters are monotone under append-only
     input (COUNT never retracts), so no watermark is needed and replay
-    is exactly-once for free."""
-    from ..operators.sketch import cms_cell
+    is exactly-once for free.
 
-    cells = F.array(
-        *[
-            F.struct(F.lit(i).alias("row"), cms_cell(F.col(col), i, w).alias("col"))
-            for i in range(d)
-        ]
-    )
-    return (
-        pages.select(F.explode(cells).alias("rc"))
-        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
-        .agg(F.count("*").alias("cnt"))
-    )
+    Delegates to the batch builder — its select/groupBy plan runs
+    unchanged on a streaming DataFrame, and one shared implementation is
+    what GUARANTEES the advertised batch/stream parity."""
+    from ..operators.sketch import cms_buckets
+
+    return cms_buckets(pages, col, d=d, w=w)
 
 
 def streaming_feature_counts(

@@ -109,6 +109,7 @@ def test_url_domain_filtering(spark):
             (2, "https://shop.example.com.au/x"),
             (3, "https://example.co.uk/y"),
             (4, "https://co.uk/z"),
+            (5, "https://News.BBC.Co.UK/x"),  # DNS is case-insensitive
         ],
         "id LONG, url STRING",
     )
@@ -122,9 +123,10 @@ def test_url_domain_filtering(spark):
     assert doms[2] == "example.com.au"
     assert doms[3] == "example.co.uk"
     assert doms[4] == "co.uk"  # bare suffix host passes through
+    assert doms[5] == "bbc.co.uk"  # mixed case must not dodge the rule
     bl_uk = spark.createDataFrame([("bbc.co.uk",)], "domain STRING")
     kept_uk = {x["id"] for x in filter_blocklisted_domains(psl, bl_uk).collect()}
-    assert kept_uk == {2, 3, 4}  # only bbc.co.uk blocked, not the registry
+    assert kept_uk == {2, 3, 4}  # bbc.co.uk blocked in ANY case, not the registry
 
     bl = spark.createDataFrame([("spam.biz",)], "domain STRING")
     kept = filter_blocklisted_domains(pages, bl)

@@ -158,6 +158,11 @@ def main():
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # machine-readable twin of BASELINE.md: bench.py embeds eff_2to8 from
+    # here into its final stdout line so the per-round BENCH record
+    # carries the north-rule number
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
+        json.dump(summary, f, indent=2)
     r2, r8, r32 = results[2], results[8], results[32]
     lines = [
         "# BENCH/BASELINE.md — measured engine numbers",
