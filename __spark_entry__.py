@@ -707,18 +707,27 @@ def _q_ann_all(spark, sf_dir):
 
 
 def _q_cms_tokens(spark, sf_dir):
-    """Count-Min Sketch token-frequency gate (new r5 — the heavy-hitter
-    companion to hll_distinct, completing the re-aggregatable sketch
-    family a 100 TB corpus lineage runs on): part='register' is the full
-    d=4 x w=256 counter table (cell-wise SUM-mergeable across table
-    slices), part='estimate' the CMS point estimate for the exact top-20
-    tokens, part='exact' their true counts — so the gate value-pins the
-    sketch AND exhibits the overestimate guarantee (est >= exact) next
-    to it. Same engine-replayable md5 hash as the HLL: the DuckDB twin
-    reproduces every counter exactly — an exact value gate over an
-    approximate operator."""
+    """Sketch-family gate over corpus tokens (new r5 — with hll_distinct
+    this completes the re-aggregatable sketch trio a 100 TB corpus
+    lineage runs on): part='register' is the full Count-Min d=4 x w=256
+    counter table (cell-wise SUM-mergeable across table slices),
+    part='estimate' the CMS point estimate for the exact top-20 tokens,
+    part='exact' their true counts — the gate value-pins the sketch AND
+    exhibits the overestimate guarantee (est >= exact) next to it;
+    part='bloom_bit' is the set-bit table of a k=4, m=2048 Bloom filter
+    over the same tokens (union-mergeable membership, the crawl
+    seen-set), part='bloom_probe' its membership answers for the top-20
+    (all 1: no false negatives) plus a planted absent token. Same
+    engine-replayable md5 hash family throughout: the DuckDB twin
+    reproduces every counter and every bit — exact value gates over
+    approximate operators."""
     from robosat_spark.operators.dedup import words
-    from robosat_spark.operators.sketch import cms_buckets, cms_estimate
+    from robosat_spark.operators.sketch import (
+        bloom_bits,
+        bloom_might_contain,
+        cms_buckets,
+        cms_estimate,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(words(F.lower(F.col("text")))).alias("token")).filter(
@@ -732,6 +741,11 @@ def _q_cms_tokens(spark, sf_dir):
         .limit(20)
     )
     est = cms_estimate(regs, top.select("token"), "token", d=4, w=256)
+    bits = bloom_bits(toks, "token", k=4, m=2048)
+    probes = top.select("token").unionByName(
+        spark.createDataFrame([("zz-never-a-token",)], "token STRING")
+    )
+    bp = bloom_might_contain(bits, probes, "token", k=4, m=2048)
     reg_rows = regs.select(
         F.lit("register").alias("part"),
         F.format_string("%d:%d", "row", "col").alias("key"),
@@ -741,7 +755,21 @@ def _q_cms_tokens(spark, sf_dir):
         F.lit("estimate").alias("part"), F.col("token").alias("key"), F.col("est").alias("n")
     )
     exact_rows = top.select(F.lit("exact").alias("part"), F.col("token").alias("key"), "n")
-    return reg_rows.unionByName(est_rows).unionByName(exact_rows)
+    bit_rows = bits.select(
+        F.lit("bloom_bit").alias("part"),
+        F.format_string("%d", "bit").alias("key"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    probe_rows = bp.select(
+        F.lit("bloom_probe").alias("part"), F.col("token").alias("key"),
+        F.col("hit").alias("n"),
+    )
+    return (
+        reg_rows.unionByName(est_rows)
+        .unionByName(exact_rows)
+        .unionByName(bit_rows)
+        .unionByName(probe_rows)
+    )
 
 
 def _q_knn_label_accuracy_ivf(spark, sf_dir):
@@ -2837,12 +2865,31 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN regs r ON r.row = i.row
             AND r.col = (('0x' || substr(md5(CAST(i.row AS VARCHAR) || '|' || t.token), 1, 15))::BIGINT % 256)
           GROUP BY t.token
+        ),
+        bloom AS (
+          SELECT DISTINCT
+            (('0x' || substr(md5(CAST(i.row AS VARCHAR) || '|' || token), 1, 15))::BIGINT % 2048) AS bit
+          FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row) i
+        ),
+        bprobes AS (SELECT token FROM top UNION ALL SELECT 'zz-never-a-token'),
+        bprobe AS (
+          SELECT p.token,
+                 CAST(CASE WHEN COUNT(b.bit) = 4 THEN 1 ELSE 0 END AS BIGINT) AS hit
+          FROM bprobes p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row) i
+          LEFT JOIN bloom b ON b.bit =
+            (('0x' || substr(md5(CAST(i.row AS VARCHAR) || '|' || p.token), 1, 15))::BIGINT % 2048)
+          GROUP BY p.token
         )
         SELECT 'register' AS part, printf('%d:%d', row, col) AS key, cnt AS n FROM regs
         UNION ALL
         SELECT 'estimate' AS part, token AS key, est AS n FROM est
         UNION ALL
         SELECT 'exact' AS part, token AS key, n FROM top
+        UNION ALL
+        SELECT 'bloom_bit' AS part, printf('%d', bit) AS key, CAST(1 AS BIGINT) AS n
+        FROM bloom
+        UNION ALL
+        SELECT 'bloom_probe' AS part, token AS key, hit AS n FROM bprobe
     """
 
     return sql

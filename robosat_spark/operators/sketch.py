@@ -146,6 +146,37 @@ def cms_estimate(buckets: DataFrame, probes: DataFrame, col: str,
     )
 
 
+def bloom_bits(df: DataFrame, col: str, k: int = 4, m: int = 2048) -> DataFrame:
+    """-> (bit,): the SET bits of a Bloom filter over ``df[col]`` (Bloom
+    1970) — the membership sketch that answers "has this URL been
+    crawled?" without shuffling the 10^12-row seen-set. Reuses the CMS
+    row-salted md5 cell hash (bit_i = cms_cell(value, i, m)), so the
+    DuckDB twin replays every bit. Bits merge across table slices by set
+    UNION (distinct), the stored artifact is <= m rows of longs, and
+    there are no false negatives; false-positive rate ~ (1-e^(-kn/m))^k."""
+    return (
+        df.select(F.explode(_cms_cells(col, k, m)).alias("rc"))
+        .select(F.col("rc.col").alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(bits: DataFrame, probes: DataFrame, col: str,
+                        k: int = 4, m: int = 2048) -> DataFrame:
+    """-> probes + (hit): 1 iff ALL k bit positions of the probe value
+    are set (the Bloom membership test — a 0 is a certain miss, a 1 a
+    probable hit). ``bits`` is broadcast; probes never shuffle."""
+    probed = probes.withColumn("rc", F.explode(_cms_cells(col, k, m))).select(
+        *probes.columns, F.col("rc.col").alias("bit")
+    )
+    marked = probed.join(
+        F.broadcast(bits.withColumn("__present", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy(*probes.columns).agg(
+        (F.count("__present") == k).cast("long").alias("hit")
+    )
+
+
 def cms_sql(values_cte: str, col: str, d: int = 4, w: int = 256) -> str:
     """DuckDB twin of :func:`cms_buckets` as a CTE body. ``values_cte``
     is a FROM-able fragment exposing column ``col``; yields a relation

@@ -6,6 +6,8 @@ import duckdb
 import pyspark.sql.functions as F
 
 from robosat_spark.operators.sketch import (
+    bloom_bits,
+    bloom_might_contain,
     cms_buckets,
     cms_estimate,
     cms_sql,
@@ -126,6 +128,24 @@ def test_cms_duckdb_twin_bit_identical(spark, tmp_path):
     q = cms_sql(f"(SELECT s FROM '{path}/*.parquet')", "s", d=4, w=64)
     want = {tuple(r) for r in con.execute(q).fetchall()}
     assert got == want
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom guarantees: every inserted value probes hit=1 (no false
+    negatives, ever), an absent value with an empty cell probes 0, and
+    bit sets of table slices merge by plain set UNION."""
+    df = spark.range(300).select(F.concat(F.lit("u"), F.col("id")).alias("s"))
+    bits = bloom_bits(df, "s", k=4, m=4096)
+    inserted = df.limit(10)
+    hits = bloom_might_contain(bits, inserted, "s", k=4, m=4096).collect()
+    assert all(r["hit"] == 1 for r in hits) and len(hits) == 10
+    absent = spark.createDataFrame([("definitely-not-inserted-xyz",)], "s STRING")
+    assert bloom_might_contain(bits, absent, "s", k=4, m=4096).first()["hit"] == 0
+    # union-merge property
+    a = bloom_bits(df.filter(F.col("id") % 2 == 0), "s", k=4, m=4096)
+    b = bloom_bits(df.filter(F.col("id") % 2 == 1), "s", k=4, m=4096)
+    merged = {r["bit"] for r in a.unionByName(b).distinct().collect()}
+    assert merged == {r["bit"] for r in bits.collect()}
 
 
 def test_hll_duckdb_twin_bit_identical(spark, tmp_path):
