@@ -330,21 +330,27 @@ def main():
             json.dump(payload, f, indent=2)
     except OSError:
         pass
-    # The driver captures only a ~2000-CHAR stdout TAIL: r3's trial arrays
-    # and r4's "compact" line (which still carried BOTH full per-query
-    # dicts, ~4 KB) each pushed the headline out of the window -> BENCH
-    # parsed: null two rounds running. The LAST line must be small on its
-    # own: headline + sf/cpus + the 10 slowest 32-cpu query mins, nothing
-    # else. Full per-query dicts live on the line above and in
-    # BENCH/bench_full_latest.json.
+    print(compact_tail_line(payload, timings))
+
+
+def compact_tail_line(payload: dict, timings: dict, cap: int = 1900) -> str:
+    """The LAST stdout line, guaranteed < ``cap`` chars so the driver's
+    ~2000-char tail capture can never truncate it mid-JSON (r3's trial
+    arrays and r4's "compact" line — which still carried both full
+    per-query dicts, ~4 KB — each pushed the headline out of the window;
+    BENCH parsed: null two rounds running). Headline + sf/cpus + the 10
+    slowest query mins + the recorded north-rule efficiency, nothing
+    else; full per-query dicts live on the preceding line and in
+    BENCH/bench_full_latest.json. Degrades by trimming the slowest list
+    rather than asserting — an assert would abort AFTER the multi-KB
+    payload printed, recreating the exact pathology this guards against
+    (and -O strips asserts)."""
     compact = {
         k: payload[k]
         for k in ("metric", "value", "unit", "trials", "sf", "cpus", "joined_rows")
     }
     compact["steal_pct"] = payload["steal_pct"].get("flagship")
-    compact["slowest"] = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    )
+    compact["slowest"] = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     # north-rule number from the most recent tools/bench_scaling.py run
     # (pinned-core pair measurement — not re-measurable inside this
     # unpinned suite process), so the per-round record carries it
@@ -354,17 +360,13 @@ def main():
             compact["eff_2to8_recorded"] = json.load(f)["value"]
     except (OSError, KeyError, ValueError):
         pass
-    # degrade, never die: an assert here would abort AFTER the multi-KB
-    # full payload printed, leaving it as the last stdout line — the
-    # exact truncation pathology this block exists to prevent (and -O
-    # strips asserts). Trim the slowest list until the line fits.
-    last_line = json.dumps(compact)
-    while len(last_line) >= 1900 and compact["slowest"]:
+    line = json.dumps(compact)
+    while len(line) >= cap and compact["slowest"]:
         compact["slowest"].popitem()
-        last_line = json.dumps(compact)
-    if len(last_line) >= 1900:  # pragma: no cover - headline alone fits
-        last_line = json.dumps({"metric": payload["metric"], "value": payload["value"]})
-    print(last_line)
+        line = json.dumps(compact)
+    if len(line) >= cap:  # pragma: no cover - headline alone fits
+        line = json.dumps({"metric": payload["metric"], "value": payload["value"]})
+    return line
 
 
 if __name__ == "__main__":

@@ -35,6 +35,28 @@ def test_bench_queries_superset_of_gates():
     assert not missing, f"gated queries missing from bench_queries: {sorted(missing)}"
 
 
+def test_bench_tail_line_always_fits():
+    """The driver records only a ~2000-char stdout tail; the final bench
+    line must fit under any realistic (or absurd) query-name inflation —
+    BENCH parsed:null shipped twice because this wasn't pinned."""
+    import json
+
+    import bench
+
+    payload = {
+        "metric": "pages_joined_per_sec", "value": 1234567.8, "unit": "rows/sec",
+        "trials": 3, "sf": 0.1, "cpus": 32, "joined_rows": 4490608,
+        "steal_pct": {"flagship": 0.5},
+    }
+    timings = {f"extremely_long_query_name_padding_{i:04d}": float(i) for i in range(200)}
+    line = bench.compact_tail_line(payload, timings)
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert parsed["value"] == 1234567.8 and "slowest" in parsed
+    # and with an empty suite it still emits valid JSON
+    assert json.loads(bench.compact_tail_line(payload, {}))["metric"]
+
+
 def test_bench_name_list_resolves():
     # bench.py's run_suite silently SKIPS names missing from
     # bench_queries(), which would drop a query from the record with no
