@@ -151,6 +151,10 @@ def test_stateful_tile_counters_accumulate(spark, pages_dir, tmp_path):
         .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
         .withColumn("tile_id", pack_tile_id(10, tile_x(F.col("lon"), 10), tile_y(F.col("lat"), 10)))
     )
+    # ttl stays None here: ProcessingTimeTimeout timers never fire under
+    # an availableNow trigger, and the drained query then waits on them
+    # forever (measured: the run hangs). The TTL path needs a continuous
+    # trigger; its wiring is asserted plan-side below without executing.
     out = streaming_tile_state(pts)
     q = (
         out.writeStream.format("memory")
@@ -176,6 +180,13 @@ def test_stateful_tile_counters_accumulate(spark, pages_dir, tmp_path):
         .groupBy("tile_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and len(got) > 0
+
+    # TTL wiring (state-store bound for a continuous-trigger deployment):
+    # constructs with ProcessingTimeTimeout and the same schema — not
+    # executed, because timers never fire under availableNow (hangs)
+    bounded = streaming_tile_state(pts, ttl_ms=60_000)
+    assert bounded.schema.simpleString() == out.schema.simpleString()
+    assert "FlatMapGroupsInPandasWithState" in bounded._jdf.queryExecution().logical().toString()
 
 
 def test_streaming_flagship_spatial_join_matches_batch(spark, pages_dir, tmp_path):
