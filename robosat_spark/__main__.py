@@ -16,7 +16,7 @@ GeoJSON for features), call the operator, write parquet/GeoJSON.
     python -m robosat_spark weights   --masks M [--classes 2] [--out O]
     python -m robosat_spark download  --tiles T.csv --url TPL --out DIR
     python -m robosat_spark serve     --grids G [--port 5000]
-    python -m robosat_spark table     {snapshots,compact,delete,expire} --path T
+    python -m robosat_spark table     {snapshots,compact,delete,expire,upsert} --path T
     python -m robosat_spark curate    --pages P --out O [--blocklist F]
                                       [--min-quality Q] [--redact]
     python -m robosat_spark sketch    {hll,cms} --path P --col C [--out O]
@@ -214,6 +214,7 @@ def cmd_table(spark, args):
         compact_table,
         delete_rows,
         expire_snapshots,
+        upsert,
     )
 
     if args.action == "snapshots":
@@ -246,6 +247,16 @@ def cmd_table(spark, args):
                 pass
         sid = delete_rows(spark, args.path, [(col, op, value)])
         print(f"deleted rows where {col} {op} {value!r} -> snapshot {sid}")
+    elif args.action == "upsert":
+        if not args.data or not args.keys:
+            raise SystemExit("table upsert requires --data <parquet> and --keys col[,col]")
+        df = spark.read.parquet(args.data)
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise SystemExit(f"upsert key columns not in --data: {missing}")
+        sid_del, sid_add = upsert(spark, args.path, df, keys)
+        print(f"upserted {df.count()} rows by {keys} -> snapshots {sid_del},{sid_add}")
     elif args.action == "expire":
         n = expire_snapshots(args.path, keep_last=args.keep_last)
         print(f"expired {n} snapshots")
@@ -365,13 +376,15 @@ def build_parser():
     sv.set_defaults(func=cmd_serve)
 
     tb = sub.add_parser("table"); tb.add_argument("action",
-        choices=["snapshots", "compact", "delete", "expire"])
+        choices=["snapshots", "compact", "delete", "expire", "upsert"])
     tb.add_argument("--path", required=True)
     tb.add_argument("--target-files", type=int, default=1)
     tb.add_argument("--sort-by", default=None)
     tb.add_argument("--where", default=None,
                     help="delete predicate as col:op:value (op in = < <= > >=)")
     tb.add_argument("--keep-last", type=int, default=1)
+    tb.add_argument("--data", default=None, help="upsert: parquet of new row versions")
+    tb.add_argument("--keys", default=None, help="upsert: comma-separated key columns")
     tb.set_defaults(func=cmd_table)
 
     cu = sub.add_parser("curate"); cu.add_argument("--pages", required=True)

@@ -179,6 +179,20 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="unsupported delete op"):
         main(["table", "delete", "--path", path, "--where", "id:!=:100"], spark=spark)
 
+    # upsert via CLI: MERGE-by-key (new row version supersedes)
+    changes = str(tmp_path / "changes")
+    spark.createDataFrame([(999, 555)], "morton LONG, id LONG").write.parquet(changes)
+    main(["table", "upsert", "--path", path, "--data", changes, "--keys", "id"],
+         spark=spark)
+    t = IcebergTable(path)
+    assert t.scan(spark, filters=[("id", "=", 555)]).first()["morton"] == 999
+    assert t.scan(spark).count() == 900  # 555 superseded, not duplicated
+    with pytest.raises(SystemExit, match="requires --data"):
+        main(["table", "upsert", "--path", path], spark=spark)
+    with pytest.raises(SystemExit, match="not in --data"):
+        main(["table", "upsert", "--path", path, "--data", changes,
+              "--keys", "nope"], spark=spark)
+
 
 def test_cli_curate_and_sketch(spark, tmp_path, capsys):
     """`curate` (blocklist + quality floor + redaction) and `sketch`
