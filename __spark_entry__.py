@@ -1449,16 +1449,31 @@ def _q_sessionize_gaps(spark, sf_dir):
 
 
 def _q_value_quantiles(spark, sf_dir):
-    """EXACT percentiles per event type (engine agg surface): Spark
-    ``percentile`` (exact linear interpolation) == DuckDB quantile_cont —
-    the exact path, not percentile_approx (t-digest has no cross-engine
-    twin)."""
+    """Percentiles per event type, exact ∪ sketched (r5 tagged union):
+    part='exact' is Spark ``percentile`` == DuckDB quantile_cont (the
+    exact path — percentile_approx's t-digest has no cross-engine twin);
+    part='hist64' reads the same quantiles off a 64-bin mergeable
+    equi-width histogram (operators/sketch.py — the distribution member
+    of the sketch family; bins of table slices merge by SUM, error
+    bounded by one bin width). Both sides of BOTH engines replay the
+    identical double arithmetic, so even the approximation is an exact
+    value gate."""
+    from robosat_spark.operators.sketch import hist_quantiles
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    exact = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    ).select(F.lit("exact").alias("part"), "event_type", "p25", "p50", "p90")
+    hq = hist_quantiles(ev, "value", "event_type",
+                        {"p25": 0.25, "p50": 0.5, "p90": 0.9}, nb=64)
+    hist = hq.select(
+        F.lit("hist64").alias("part"), "event_type",
+        F.round("p25", 6).alias("p25"), F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
     )
+    return exact.unionByName(hist)
 
 
 def _q_rollup_events(spark, sf_dir):
@@ -2097,12 +2112,21 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn = 1
     """
 
-    sql["value_quantiles"] = """
-        SELECT event_type,
+    from robosat_spark.operators.sketch import hist_quantiles_sql
+
+    _hq = hist_quantiles_sql(
+        "events", "value", "event_type", {"p25": 0.25, "p50": 0.5, "p90": 0.9}, nb=64
+    )
+    sql["value_quantiles"] = f"""
+        SELECT 'exact' AS part, event_type,
                ROUND(quantile_cont(value, 0.25), 6) AS p25,
                ROUND(quantile_cont(value, 0.5), 6) AS p50,
                ROUND(quantile_cont(value, 0.9), 6) AS p90
         FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'hist64' AS part, event_type,
+               ROUND(p25, 6) AS p25, ROUND(p50, 6) AS p50, ROUND(p90, 6) AS p90
+        FROM ({_hq})
     """
 
     sql["users_retained"] = """

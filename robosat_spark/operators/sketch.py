@@ -177,6 +177,122 @@ def bloom_might_contain(bits: DataFrame, probes: DataFrame, col: str,
     )
 
 
+def hist_buckets(df: DataFrame, col: str, by: str, nb: int = 64) -> DataFrame:
+    """-> (by, bucket, cnt): per-group equi-width histogram of ``col``
+    over ``nb`` bins spanning the group's exact [min, max] — the
+    distribution profile of the sketch family (HLL = distinct, CMS =
+    frequency, Bloom = membership, histogram = shape). Bins of table
+    slices sharing the same bounds merge by cell-wise SUM, the stored
+    artifact is <= nb rows per group, and every expression is identical
+    arithmetic in DuckDB (floor of the same IEEE double ops — no
+    width_bucket, whose edge semantics would be an engine dependency).
+    Values at max land in the last bin (clamped)."""
+    stats = df.groupBy(by).agg(
+        F.min(col).alias("__mn"), F.max(col).alias("__mx")
+    )
+    j = df.join(F.broadcast(stats), by)
+    wd = (F.col("__mx") - F.col("__mn")) / F.lit(float(nb))
+    b = (
+        F.when(
+            wd > 0,
+            F.least(
+                F.greatest(F.floor((F.col(col) - F.col("__mn")) / wd), F.lit(0)),
+                F.lit(nb - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return (
+        j.select(F.col(by), b.alias("bucket"))
+        .groupBy(by, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles(df: DataFrame, col: str, by: str, qs: dict,
+                   nb: int = 64) -> DataFrame:
+    """-> (by, <name> per ``qs``): approximate quantiles read off the
+    equi-width histogram by cumulative walk + linear interpolation
+    within the covering bin (target rank q*n; first bin whose running
+    count reaches it). Error is bounded by one bin width — the standard
+    profile readout when the exact percentile's full sort/shuffle at
+    10^12 rows is the thing being avoided. ``qs``: {"p50": 0.5, ...}.
+    Deterministic double arithmetic; DuckDB replays it exactly."""
+    from pyspark.sql import Window
+
+    stats = df.groupBy(by).agg(
+        F.min(col).alias("__mn"), F.max(col).alias("__mx"), F.count("*").alias("__n")
+    )
+    h = hist_buckets(df, col, by, nb).join(F.broadcast(stats), by)
+    cum = F.sum("cnt").over(Window.partitionBy(by).orderBy("bucket"))
+    h = h.withColumn("cum", cum)
+    wd = (F.col("__mx") - F.col("__mn")) / F.lit(float(nb))
+    out = stats.select(by)
+    for name, q in qs.items():
+        target = F.lit(q) * F.col("__n")
+        est = F.when(
+            wd > 0,
+            F.col("__mn")
+            + F.col("bucket") * wd
+            + wd * (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt"),
+        ).otherwise(F.col("__mn"))
+        rn = F.row_number().over(Window.partitionBy(by).orderBy("bucket"))
+        pick = (
+            h.filter(F.col("cum") >= target)
+            .withColumn("__rn", rn)
+            .filter(F.col("__rn") == 1)
+            .select(F.col(by), est.alias(name))
+        )
+        out = out.join(pick, by)
+    return out
+
+
+def hist_quantiles_sql(table: str, col: str, by: str, qs: dict,
+                       nb: int = 64) -> str:
+    """DuckDB twin of :func:`hist_quantiles` (same bin arithmetic, same
+    cumulative walk and interpolation)."""
+    wd = f"((s.mx - s.mn) / {float(nb)!r})"
+    picks = []
+    sels = []
+    for name, q in qs.items():
+        picks.append(f"""
+        pick_{name} AS (
+          SELECT {by}, est AS {name} FROM (
+            SELECT c.{by},
+                   CASE WHEN (s.mx - s.mn) > 0
+                        THEN s.mn + c.bucket * {wd}
+                             + {wd} * ({q!r} * s.n - (c.cum - c.cnt)) / c.cnt
+                        ELSE s.mn END AS est,
+                   ROW_NUMBER() OVER (PARTITION BY c.{by} ORDER BY c.bucket) AS rn
+            FROM cum c JOIN stats s USING ({by})
+            WHERE c.cum >= {q!r} * s.n) WHERE rn = 1)""")
+        sels.append(f"pick_{name}")
+    joins = sels[0]
+    for s in sels[1:]:
+        joins += f" JOIN {s} USING ({by})"
+    cols = ", ".join(qs)
+    return f"""
+        WITH stats AS (SELECT {by}, MIN({col}) AS mn, MAX({col}) AS mx,
+                              COUNT(*) AS n
+                       FROM {table} GROUP BY 1),
+        hist AS (
+          SELECT e.{by},
+                 CAST(CASE WHEN (s.mx - s.mn) > 0
+                      THEN LEAST(GREATEST(FLOOR((e.{col} - s.mn)
+                                / ((s.mx - s.mn) / {float(nb)!r})), 0), {nb - 1})
+                      ELSE 0 END AS INT) AS bucket,
+                 COUNT(*) AS cnt
+          FROM {table} e JOIN stats s USING ({by})
+          GROUP BY 1, 2),
+        cum AS (SELECT {by}, bucket, cnt,
+                       SUM(cnt) OVER (PARTITION BY {by} ORDER BY bucket) AS cum
+                FROM hist),
+        {", ".join(picks)}
+        SELECT {by}, {cols} FROM {joins}
+    """
+
+
 def cms_sql(values_cte: str, col: str, d: int = 4, w: int = 256) -> str:
     """DuckDB twin of :func:`cms_buckets` as a CTE body. ``values_cte``
     is a FROM-able fragment exposing column ``col``; yields a relation

@@ -11,6 +11,9 @@ from robosat_spark.operators.sketch import (
     cms_buckets,
     cms_estimate,
     cms_sql,
+    hist_buckets,
+    hist_quantiles,
+    hist_quantiles_sql,
     hll_buckets,
     hll_distinct,
     hll_sql,
@@ -127,6 +130,79 @@ def test_cms_duckdb_twin_bit_identical(spark, tmp_path):
     con = duckdb.connect()
     q = cms_sql(f"(SELECT s FROM '{path}/*.parquet')", "s", d=4, w=64)
     want = {tuple(r) for r in con.execute(q).fetchall()}
+    assert got == want
+
+
+def test_hist_quantiles_within_bin_width(spark):
+    """Approximate quantiles off the equi-width histogram land within one
+    bin width of the exact percentile (the operator's error bound)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(10_000).select(
+        F.lit("g").alias("g"), (F.col("id") * F.col("id")).cast("double").alias("v")
+    )
+    nb = 64
+    got = hist_quantiles(df, "v", "g", {"p50": 0.5, "p90": 0.9}, nb=nb).first()
+    exact = df.groupBy("g").agg(
+        F.expr("percentile(v, 0.5)").alias("p50"),
+        F.expr("percentile(v, 0.9)").alias("p90"),
+    ).first()
+    binw = (9999.0**2 - 0.0) / nb
+    assert abs(got["p50"] - exact["p50"]) <= binw
+    assert abs(got["p90"] - exact["p90"]) <= binw
+
+
+def test_hist_buckets_merge_by_sum(spark):
+    """Bins of table slices sharing the group bounds merge by SUM: the
+    merged histogram of two halves equals the whole-table histogram
+    (fixed per-group [min,max] by construction of the slices)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(2_000).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    whole = hist_buckets(df, "v", "g", nb=32)
+    # pin both extremes into each half so the per-group [min, max] (and
+    # hence the bin edges) agree across slices — the merge contract
+    lo_hi = df.filter(F.col("id").isin(0, 1999))
+    h1 = hist_buckets(df.filter(F.col("id") % 2 == 0).unionByName(
+        lo_hi.filter(F.col("id") == 1999)), "v", "g", nb=32)
+    h2 = hist_buckets(df.filter(F.col("id") % 2 == 1).unionByName(
+        lo_hi.filter(F.col("id") == 0)), "v", "g", nb=32)
+    merged = (
+        h1.unionByName(h2).groupBy("g", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r["bucket"], r["cnt"]) for r in merged.collect()}
+    want = {
+        (r["bucket"], r["cnt"] + (1 if r["bucket"] in (0, 31) else 0))
+        for r in whole.collect()
+    }
+    assert got == want  # whole + the two double-counted boundary pins
+
+
+def test_hist_quantiles_duckdb_twin(spark, tmp_path):
+    """The SQL twin replays bin index, cumulative walk, and interpolation
+    to the same 6-decimal values."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 7919 % 10007).cast("double").alias("v"),
+    )
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    got = {
+        (r["g"], round(r["p25"], 6), round(r["p50"], 6), round(r["p90"], 6))
+        for r in hist_quantiles(df, "v", "g", qs, nb=64).collect()
+    }
+    path = str(tmp_path / "hq.parquet")
+    df.write.parquet(path)
+    con = duckdb.connect()
+    q = hist_quantiles_sql(f"'{path}/*.parquet'", "v", "g", qs, nb=64)
+    want = {
+        (g, round(a, 6), round(b, 6), round(c, 6))
+        for g, a, b, c in con.execute(q).fetchall()
+    }
     assert got == want
 
 
