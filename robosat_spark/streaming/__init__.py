@@ -3,6 +3,7 @@
 from .ingest import (  # noqa: F401
     PAGES_SCHEMA,
     streaming_cms_registers,
+    streaming_hist_registers,
     streaming_hll_registers,
     streaming_latest_snapshot,
     streaming_pages,

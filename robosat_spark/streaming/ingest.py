@@ -128,6 +128,31 @@ def streaming_cms_registers(
     return cms_buckets(pages, col, d=d, w=w)
 
 
+def streaming_hist_registers(
+    pages: DataFrame, col: str, by: str, lo: float, hi: float, nb: int = 64
+) -> DataFrame:
+    """Equi-width histogram ON A STREAM (r5 — with this, every member of
+    the sketch family runs as streaming state): running per-group bin
+    counters with FIXED [lo, hi) bounds. The batch builder derives
+    bounds from the group's exact min/max — impossible on an unbounded
+    stream — so the caller pins them (the deployment norm: doc-length
+    and quality-score ranges are known a priori); bin arithmetic is the
+    same clamped floor as ``operators.sketch.hist_buckets``, counters
+    are monotone groupBy-COUNTs (<= groups x nb state rows, exactly-once
+    under replay for free), and a batch histogram of another table slice
+    with the same pinned bounds merges in by cell-wise SUM."""
+    wd = (hi - lo) / float(nb)
+    b = F.least(
+        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(wd)), F.lit(0)),
+        F.lit(nb - 1),
+    ).cast("int")
+    return (
+        pages.select(F.col(by), b.alias("bucket"))
+        .groupBy(by, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def streaming_feature_counts(
     pages: DataFrame,
     features: DataFrame,

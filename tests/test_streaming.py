@@ -104,6 +104,37 @@ def test_streaming_cms_registers_match_batch(spark, pages_dir, tmp_path):
     assert est >= true_n > 0
 
 
+def test_streaming_hist_registers_match_pinned_batch(spark, pages_dir, tmp_path):
+    """Streamed histogram counters (pinned bounds) == a batch histogram
+    built with the same clamped-floor arithmetic over the same files."""
+    import pyspark.sql.functions as F
+
+    from robosat_spark.streaming.ingest import streaming_hist_registers
+
+    stream = streaming_pages(spark, pages_dir).withColumn(
+        "n_chars", F.length("text").cast("double")
+    ).withColumn("grp", F.lit("all"))
+    regs = streaming_hist_registers(stream, "n_chars", "grp", lo=0.0, hi=512.0, nb=32)
+    run_available_now(regs, str(tmp_path / "ckpt_hist"), "hist_regs", mode="complete")
+    got = {
+        (r["bucket"], r["cnt"])
+        for r in spark.sql("select bucket, cnt from hist_regs").collect()
+    }
+    batch = spark.read.parquet(pages_dir).withColumn(
+        "n_chars", F.length("text").cast("double")
+    )
+    wd = 512.0 / 32
+    b = F.least(
+        F.greatest(F.floor(F.col("n_chars") / F.lit(wd)), F.lit(0)), F.lit(31)
+    ).cast("int")
+    want = {
+        (r["bucket"], r["cnt"])
+        for r in batch.select(b.alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_streaming_dedup_urls(spark, pages_dir, tmp_path):
     stream = streaming_pages(spark, pages_dir)
     deduped = streaming_latest_snapshot(stream).select("url")
