@@ -180,6 +180,21 @@ def test_hist_buckets_merge_by_sum(spark):
     assert got == want  # whole + the two double-counted boundary pins
 
 
+def test_hist_buckets_plan_broadcast_and_partial(spark):
+    """The histogram build must broadcast the tiny per-group bounds (no
+    shuffle of the value side for the join), combine map-side, and stay
+    JVM-only."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 5).cast("string").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    plan = hist_buckets(df, "v", "g", nb=64)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_hist_quantiles_duckdb_twin(spark, tmp_path):
     """The SQL twin replays bin index, cumulative walk, and interpolation
     to the same 6-decimal values."""
