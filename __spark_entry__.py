@@ -730,6 +730,11 @@ def _q_cms_tokens(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # NOT cached: the five tagged branches re-derive the explode, but a
+    # measured A/B at sf0.1 put .cache() ~8% SLOWER (materialization +
+    # memory-store overhead exceeds the recompute of a cheap codegen
+    # explode) — at real corpus scale a persisted token TABLE would be
+    # built upstream of sketching, not inside the query
     toks = docs.select(F.explode(words(F.lower(F.col("text")))).alias("token")).filter(
         F.col("token") != ""
     )
