@@ -239,6 +239,48 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert merged == {r["bit"] for r in bits.collect()}
 
 
+def _py_cell(value: str, row: int, w: int) -> int:
+    """Independent pure-Python reference of the row-salted cell hash
+    (third implementation — validates the spec both engines claim)."""
+    import hashlib
+
+    return int(hashlib.md5(f"{row}|{value}".encode()).hexdigest()[:15], 16) % w
+
+
+def test_cms_twin_matches_pure_python_reference():
+    """Property: for arbitrary token lists, the DuckDB CMS twin's counter
+    table equals a hashlib-computed reference — pinning the cell-hash
+    spec independently of BOTH query engines."""
+    from collections import Counter
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.text(alphabet="abcxyz0189", min_size=1, max_size=8),
+                    min_size=1, max_size=40))
+    def prop(tokens):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(token VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in tokens])
+        got = {tuple(r) for r in con.execute(cms_sql("t", "token", d=3, w=32)).fetchall()}
+        ref = Counter((row, _py_cell(t, row, 32)) for t in tokens for row in range(3))
+        want = {(row, cell, n) for (row, cell), n in ref.items()}
+        assert got == want
+
+    prop()
+
+
+def test_bloom_bits_match_pure_python_reference(spark):
+    """The Spark Bloom bit set equals the hashlib reference bit set."""
+    vals = [f"v{i}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "s STRING")
+    got = {r["bit"] for r in bloom_bits(df, "s", k=4, m=512).collect()}
+    want = {_py_cell(v, row, 512) for v in vals for row in range(4)}
+    assert got == want
+
+
 def test_hll_duckdb_twin_bit_identical(spark, tmp_path):
     """The SQL twin reproduces the IDENTICAL register table and estimate
     (hash, rho, and estimator expressions are engine-replayable)."""
