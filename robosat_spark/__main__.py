@@ -255,8 +255,22 @@ def cmd_table(spark, args):
         missing = [k for k in keys if k not in df.columns]
         if missing:
             raise SystemExit(f"upsert key columns not in --data: {missing}")
+        from pyspark.sql import functions as F
+
+        # one pre-commit job doing both: total rows AND key uniqueness —
+        # duplicate key tuples in --data would equality-delete the key
+        # once then append BOTH versions, leaving permanent duplicates
+        # behind a command that prints "MERGE-by-key"
+        row = df.agg(
+            F.count("*").alias("n"), F.count_distinct(*[F.col(k) for k in keys]).alias("k")
+        ).first()
+        if row["n"] != row["k"]:
+            raise SystemExit(
+                f"--data has {row['n'] - row['k']} duplicate {keys} tuples; "
+                "dedupe to one row version per key before upserting"
+            )
         sid_del, sid_add = upsert(spark, args.path, df, keys)
-        print(f"upserted {df.count()} rows by {keys} -> snapshots {sid_del},{sid_add}")
+        print(f"upserted {row['n']} rows by {keys} -> snapshots {sid_del},{sid_add}")
     elif args.action == "expire":
         n = expire_snapshots(args.path, keep_last=args.keep_last)
         print(f"expired {n} snapshots")

@@ -172,8 +172,12 @@ def bloom_might_contain(bits: DataFrame, probes: DataFrame, col: str,
     marked = probed.join(
         F.broadcast(bits.withColumn("__present", F.lit(1))), "bit", "left"
     )
+    # hit iff EVERY joined row matched (count(*) == count(present)), not
+    # count == k: duplicate probe values group to 2k rows and a
+    # non-distinct bits side multiplies matches — an == k test would
+    # return false negatives for genuinely inserted values in both cases
     return marked.groupBy(*probes.columns).agg(
-        (F.count("__present") == k).cast("long").alias("hit")
+        (F.count("__present") == F.count("*")).cast("long").alias("hit")
     )
 
 
@@ -186,27 +190,40 @@ def hist_buckets(df: DataFrame, col: str, by: str, nb: int = 64) -> DataFrame:
     artifact is <= nb rows per group, and every expression is identical
     arithmetic in DuckDB (floor of the same IEEE double ops — no
     width_bucket, whose edge semantics would be an engine dependency).
-    Values at max land in the last bin (clamped)."""
+    Values at max land in the last bin (clamped); NULLs are excluded —
+    greatest() skips its NULL argument in both engines, so without the
+    filter a NULL value would silently land in bin 0 and drag every
+    quantile readout toward min (percentile/quantile_cont ignore NULLs,
+    and the histogram must match their population)."""
+    df = df.filter(F.col(col).isNotNull())
     stats = df.groupBy(by).agg(
         F.min(col).alias("__mn"), F.max(col).alias("__mx")
     )
     j = df.join(F.broadcast(stats), by)
     wd = (F.col("__mx") - F.col("__mn")) / F.lit(float(nb))
-    b = (
+    b = hist_bin(F.col(col), F.col("__mn"), wd, nb)
+    return (
+        j.select(F.col(by), b.alias("bucket"))
+        .groupBy(by, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_bin(value: Column, lo: Column, wd: Column, nb: int) -> Column:
+    """The ONE definition of the clamped-floor bin index (shared by the
+    batch histogram and the streaming register state so the merge-by-SUM
+    contract can't drift): floor((v - lo)/wd) clamped to [0, nb-1];
+    degenerate width (all values equal) puts everything in bin 0."""
+    return (
         F.when(
             wd > 0,
             F.least(
-                F.greatest(F.floor((F.col(col) - F.col("__mn")) / wd), F.lit(0)),
+                F.greatest(F.floor((value - lo) / wd), F.lit(0)),
                 F.lit(nb - 1),
             ),
         )
         .otherwise(F.lit(0))
         .cast("int")
-    )
-    return (
-        j.select(F.col(by), b.alias("bucket"))
-        .groupBy(by, "bucket")
-        .agg(F.count("*").alias("cnt"))
     )
 
 
@@ -217,16 +234,20 @@ def hist_quantiles(df: DataFrame, col: str, by: str, qs: dict,
     within the covering bin (target rank q*n; first bin whose running
     count reaches it). Error is bounded by one bin width — the standard
     profile readout when the exact percentile's full sort/shuffle at
-    10^12 rows is the thing being avoided. ``qs``: {"p50": 0.5, ...}.
+    10^12 rows is the thing being avoided. ``qs``: {"p50": 0.5, ...};
+    ``__n`` counts non-NULL values only (the percentile population).
     Deterministic double arithmetic; DuckDB replays it exactly."""
     from pyspark.sql import Window
 
     stats = df.groupBy(by).agg(
-        F.min(col).alias("__mn"), F.max(col).alias("__mx"), F.count("*").alias("__n")
+        F.min(col).alias("__mn"), F.max(col).alias("__mx"), F.count(col).alias("__n")
     )
     h = hist_buckets(df, col, by, nb).join(F.broadcast(stats), by)
     cum = F.sum("cnt").over(Window.partitionBy(by).orderBy("bucket"))
-    h = h.withColumn("cum", cum)
+    # materialize the (tiny, <= nb rows/group) cumulative table ONCE:
+    # each per-quantile pick below is a separate branch, and without the
+    # checkpoint every branch re-runs the full input scan + aggregation
+    h = h.withColumn("cum", cum).localCheckpoint()
     wd = (F.col("__mx") - F.col("__mn")) / F.lit(float(nb))
     out = stats.select(by)
     for name, q in qs.items():
@@ -274,7 +295,7 @@ def hist_quantiles_sql(table: str, col: str, by: str, qs: dict,
     cols = ", ".join(qs)
     return f"""
         WITH stats AS (SELECT {by}, MIN({col}) AS mn, MAX({col}) AS mx,
-                              COUNT(*) AS n
+                              COUNT({col}) AS n
                        FROM {table} GROUP BY 1),
         hist AS (
           SELECT e.{by},
@@ -284,6 +305,7 @@ def hist_quantiles_sql(table: str, col: str, by: str, qs: dict,
                       ELSE 0 END AS INT) AS bucket,
                  COUNT(*) AS cnt
           FROM {table} e JOIN stats s USING ({by})
+          WHERE e.{col} IS NOT NULL
           GROUP BY 1, 2),
         cum AS (SELECT {by}, bucket, cnt,
                        SUM(cnt) OVER (PARTITION BY {by} ORDER BY bucket) AS cum

@@ -136,18 +136,23 @@ def streaming_hist_registers(
     counters with FIXED [lo, hi) bounds. The batch builder derives
     bounds from the group's exact min/max — impossible on an unbounded
     stream — so the caller pins them (the deployment norm: doc-length
-    and quality-score ranges are known a priori); bin arithmetic is the
-    same clamped floor as ``operators.sketch.hist_buckets``, counters
-    are monotone groupBy-COUNTs (<= groups x nb state rows, exactly-once
-    under replay for free), and a batch histogram of another table slice
-    with the same pinned bounds merges in by cell-wise SUM."""
+    and quality-score ranges are known a priori); bin arithmetic is THE
+    SAME ``operators.sketch.hist_bin`` expression the batch builder uses
+    (one shared definition — the merge-by-SUM contract can't drift),
+    counters are monotone groupBy-COUNTs (<= groups x nb state rows,
+    exactly-once under replay for free), and a batch histogram of
+    another table slice with the same pinned bounds merges in by
+    cell-wise SUM. NULL values are excluded (matching the batch
+    builder's percentile population)."""
+    from ..operators.sketch import hist_bin
+
+    if not hi > lo:
+        raise ValueError(f"streaming_hist_registers needs hi > lo, got [{lo}, {hi})")
     wd = (hi - lo) / float(nb)
-    b = F.least(
-        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(wd)), F.lit(0)),
-        F.lit(nb - 1),
-    ).cast("int")
+    b = hist_bin(F.col(col), F.lit(lo), F.lit(wd), nb)
     return (
-        pages.select(F.col(by), b.alias("bucket"))
+        pages.filter(F.col(col).isNotNull())
+        .select(F.col(by), b.alias("bucket"))
         .groupBy(by, "bucket")
         .agg(F.count("*").alias("cnt"))
     )

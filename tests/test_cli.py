@@ -192,6 +192,14 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="not in --data"):
         main(["table", "upsert", "--path", path, "--data", changes,
               "--keys", "nope"], spark=spark)
+    # duplicate key tuples in --data would append BOTH versions after one
+    # delete — rejected before any snapshot commits
+    dup = str(tmp_path / "dup")
+    spark.createDataFrame([(1, 777), (2, 777)], "morton LONG, id LONG").write.parquet(dup)
+    with pytest.raises(SystemExit, match="duplicate"):
+        main(["table", "upsert", "--path", path, "--data", dup, "--keys", "id"],
+             spark=spark)
+    assert IcebergTable(path).scan(spark).count() == 900  # nothing committed
 
 
 def test_cli_curate_and_sketch(spark, tmp_path, capsys):

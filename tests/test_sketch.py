@@ -180,6 +180,32 @@ def test_hist_buckets_merge_by_sum(spark):
     assert got == want  # whole + the two double-counted boundary pins
 
 
+def test_hist_excludes_nulls(spark):
+    """NULL values must not land in bin 0 (greatest() skips NULLs in
+    both engines): the histogram population equals percentile's."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(100)] + [("g", None)] * 50,
+        "g STRING, v DOUBLE",
+    )
+    h = hist_buckets(df, "v", "g", nb=10)
+    assert sum(r["cnt"] for r in h.collect()) == 100  # NULLs excluded
+    got = hist_quantiles(df, "v", "g", {"p50": 0.5}, nb=10).first()["p50"]
+    exact = df.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("e")).first()["e"]
+    assert abs(got - exact) <= (99.0 / 10)  # one bin width, NULL-free
+
+
+def test_streaming_hist_rejects_degenerate_bounds(spark):
+    import pytest
+
+    from robosat_spark.streaming.ingest import streaming_hist_registers
+
+    df = spark.createDataFrame([("g", 1.0)], "g STRING, v DOUBLE")
+    with pytest.raises(ValueError, match="hi > lo"):
+        streaming_hist_registers(df, "v", "g", lo=5.0, hi=5.0)
+
+
 def test_hist_buckets_plan_broadcast_and_partial(spark):
     """The histogram build must broadcast the tiny per-group bounds (no
     shuffle of the value side for the join), combine map-side, and stay
@@ -232,6 +258,11 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert all(r["hit"] == 1 for r in hits) and len(hits) == 10
     absent = spark.createDataFrame([("definitely-not-inserted-xyz",)], "s STRING")
     assert bloom_might_contain(bits, absent, "s", k=4, m=4096).first()["hit"] == 0
+    # duplicate probe values must still probe hit=1 (the r5 review found
+    # an ==k count test that false-negatived on non-deduped probe sets)
+    dup = spark.createDataFrame([("u3",), ("u3",), ("u4",)], "s STRING")
+    dup_hits = bloom_might_contain(bits, dup, "s", k=4, m=4096).collect()
+    assert all(r["hit"] == 1 for r in dup_hits)
     # union-merge property
     a = bloom_bits(df.filter(F.col("id") % 2 == 0), "s", k=4, m=4096)
     b = bloom_bits(df.filter(F.col("id") % 2 == 1), "s", k=4, m=4096)
