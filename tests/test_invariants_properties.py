@@ -138,6 +138,43 @@ def test_url_domain_filtering(spark):
     assert counts["example.com"] == 2 and counts["spam.biz"] == 1
 
 
+def test_registered_domain_sql_twin_matches_python_reference():
+    """Property: over arbitrary dotted hosts, the DuckDB twin of
+    registered_domain equals an independent pure-Python reference (the
+    Spark side is pinned to the twin by the url_curation gate — this
+    closes the triangle without a per-example Spark roundtrip)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from robosat_spark.functions.urls import PUBLIC_SUFFIX_2LABEL, registered_domain_sql
+
+    def py_ref(host: str) -> str:
+        h = host.lower()
+        parts = h.split(".")
+        if len(parts) >= 3 and ".".join(parts[-2:]) in PUBLIC_SUFFIX_2LABEL:
+            return ".".join(parts[-3:])
+        if len(parts) >= 2:
+            return ".".join(parts[-2:])
+        return h
+
+    label = st.text(alphabet="abCo.UK09-", min_size=1, max_size=6)
+    host_s = st.lists(label, min_size=1, max_size=5).map(".".join)
+
+    @settings(max_examples=50, deadline=None)
+    @given(host_s)
+    def prop(host):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE h(host VARCHAR)")
+        con.execute("INSERT INTO h VALUES (?)", [host])
+        got = con.execute(
+            "SELECT " + registered_domain_sql("host") + " FROM h"
+        ).fetchone()[0]
+        assert got == py_ref(host), (host, got, py_ref(host))
+
+    prop()
+
+
 def test_pii_detection_and_redaction(spark):
     """PII pass: email/IPv4 counts and the redaction rewrite (the
     release-time scrub every public corpus gets)."""
