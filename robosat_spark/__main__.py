@@ -145,10 +145,14 @@ def cmd_masks(spark, args):
 
 
 def cmd_compare(spark, args):
-    """`rs compare` analog (/root/reference/robosat/tools/compare.py): score
-    a mask set against truth — global confusion counts + mIoU/fgIoU/MCC
-    instead of side-by-side images (no codecs in this environment)."""
-    from .operators.ensemble import confusion_counts, segmentation_metrics
+    """`rs compare` analog (/root/reference/robosat/tools/compare.py):
+    score a mask set against truth (global confusion counts + mIoU/fgIoU/
+    MCC), and with --composites also write the reference's side-by-side
+    visualization — [truth | mask] horizontally concatenated per tile,
+    keep-filtered by foreground share, as slippy z/x/y.png via the
+    from-scratch codec (r5; the reference's leading imagery column has no
+    source in this engine's data model)."""
+    from .operators.ensemble import compare_composites, confusion_counts, segmentation_metrics
 
     pred = spark.read.parquet(args.masks)
     truth = spark.read.parquet(args.truth)
@@ -158,6 +162,16 @@ def cmd_compare(spark, args):
     else:
         for r in metrics.collect():
             print(r.asDict())
+    if args.composites:
+        from .functions.colors import class_palette
+        from .sources.sinks import write_slippy_pngs
+
+        comp = compare_composites(
+            truth, [pred], minimum=args.minimum, maximum=args.maximum
+        )
+        write_slippy_pngs(comp, args.composites,
+                          palette=class_palette(_MASK_PALETTE))
+        print(f"composites -> {args.composites}")
 
 
 def cmd_weights(spark, args):
@@ -372,6 +386,10 @@ def build_parser():
 
     cp = sub.add_parser("compare"); cp.add_argument("--masks", required=True)
     cp.add_argument("--truth", required=True); cp.add_argument("--out", default=None)
+    cp.add_argument("--composites", default=None,
+                    help="also write [truth|mask] side-by-side z/x/y.png under this dir")
+    cp.add_argument("--minimum", type=float, default=0.0)
+    cp.add_argument("--maximum", type=float, default=1.0)
     cp.set_defaults(func=cmd_compare)
 
     w = sub.add_parser("weights"); w.add_argument("--masks", required=True)

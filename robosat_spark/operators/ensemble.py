@@ -59,6 +59,60 @@ def soft_vote(prob_dfs: list[DataFrame], weights: list[float] | None = None) -> 
     return joined.mapInPandas(vote, MASK_SCHEMA)
 
 
+def compare_composites(
+    labels: DataFrame,
+    mask_sets: list[DataFrame],
+    minimum: float = 0.0,
+    maximum: float = 1.0,
+) -> DataFrame:
+    """-> masks(z, x, y, w, h, data): the reference `rs compare` composite
+    (/root/reference/robosat/tools/compare.py:56-67 — per tile, columns
+    horizontally concatenated into one image; :68 keep rule: a tile
+    survives when ANY mask's foreground share lies in [minimum, maximum]).
+    Columns here are [label, mask...] — the reference's leading aerial
+    -imagery column has no source in this engine's data model (masks and
+    labels only), a documented delta. Fully distributed: equi-join on
+    (z, x, y) then an Arrow-batched hstack kernel; write the result with
+    ``write_slippy_pngs`` for the reference's z/x/y.png layout."""
+    j = labels.select(
+        "z", "x", "y", "w", "h", F.col("data").alias("d0")
+    )
+    for i, m in enumerate(mask_sets):
+        j = j.join(
+            m.select("z", "x", "y", F.col("data").alias(f"d{i + 1}")),
+            ["z", "x", "y"],
+        )
+    n = len(mask_sets)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.w), int(r.h)
+                grids = [
+                    np.frombuffer(getattr(r, f"d{i}"), dtype=np.uint8).reshape(h, w)
+                    for i in range(n + 1)
+                ]
+                keep = False
+                for g in grids[1:]:
+                    share = np.count_nonzero(g) / float(w * h)
+                    if minimum <= share <= maximum:
+                        keep = True
+                        break
+                if not keep:
+                    continue
+                combined = np.hstack(grids)
+                rows.append(
+                    (int(r.z), int(r.x), int(r.y), w * (n + 1), h,
+                     combined.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "w", "h", "data"]
+            )
+
+    return j.mapInPandas(gen, MASK_SCHEMA)
+
+
 def confusion_counts(predicted: DataFrame, truth: DataFrame) -> DataFrame:
     """-> one row (tn, fn, fp, tp): global binary confusion counters.
 

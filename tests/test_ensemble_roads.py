@@ -85,3 +85,48 @@ def test_road_width_reference_semantics(spark):
             assert i not in got
         else:
             assert got[i] == pytest.approx(want, abs=1e-9), (i, got[i], want)
+
+
+def test_compare_composites_hstack_and_keep_rule(spark, tmp_path):
+    """Reference `rs compare` parity: per-tile horizontal concatenation
+    of [label | mask] with the any-mask foreground-share keep filter
+    (compare.py:44-68), written as slippy PNGs by the from-scratch codec
+    and decoded back bit-exactly."""
+    import numpy as np
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from robosat_spark.__main__ import main
+    from robosat_spark.kernels.png import decode_png
+    from robosat_spark.operators.ensemble import compare_composites
+
+    w = h = 8
+    lbl = np.zeros((h, w), np.uint8); lbl[2:5, 1:4] = 1
+    m_fg = np.zeros((h, w), np.uint8); m_fg[0:4, 0:4] = 1     # share 0.25
+    m_empty = np.zeros((h, w), np.uint8)                      # share 0.0
+    rows_l = [(18, 10, 20, w, h, lbl.tobytes()), (18, 11, 20, w, h, lbl.tobytes())]
+    rows_m = [(18, 10, 20, w, h, m_fg.tobytes()), (18, 11, 20, w, h, m_empty.tobytes())]
+    schema = "z INT, x LONG, y LONG, w INT, h INT, data BINARY"
+    labels = spark.createDataFrame(rows_l, schema)
+    masks = spark.createDataFrame(rows_m, schema)
+
+    # minimum 0.1 drops the empty-mask tile; survivor = hstack(label, mask)
+    out = compare_composites(labels, [masks], minimum=0.1).collect()
+    assert [(r["x"], r["w"], r["h"]) for r in out] == [(10, 16, 8)]
+    got = np.frombuffer(out[0]["data"], np.uint8).reshape(8, 16)
+    assert (got == np.hstack([lbl, m_fg])).all()
+    # maximum below the fg tile's share keeps only the EMPTY tile (share
+    # 0.0 is inside [0, 0.2] — the reference's >=min and <=max rule)
+    kept = compare_composites(labels, [masks], maximum=0.2).collect()
+    assert [r["x"] for r in kept] == [11]
+
+    # CLI end-to-end: metrics parquet + composite PNG roundtrip
+    ldir, mdir = str(tmp_path / "l"), str(tmp_path / "m")
+    labels.write.parquet(ldir); masks.write.parquet(mdir)
+    comp = str(tmp_path / "comp")
+    main(["compare", "--masks", mdir, "--truth", ldir,
+          "--out", str(tmp_path / "metrics"),
+          "--composites", comp, "--minimum", "0.1"], spark=spark)
+    png = open(f"{comp}/18/10/20.png", "rb").read()
+    arr, _palette = decode_png(png)
+    assert arr.shape == (8, 16)
+    assert (arr == np.hstack([lbl, m_fg])).all()  # bit-exact through the codec
