@@ -70,11 +70,17 @@ def _q_pricing_summary(spark, sf_dir):
 
 
 def _q_market_join(spark, sf_dir):
-    """J1/J7-class multi-way equi join + agg + top-k (broadcast dims)."""
+    """J1/J7-class multi-way equi join + agg (broadcast dims) ∪ the
+    TPC-H-Q5-class SNOWFLAKE join (r5 tagged extension — the one join
+    shape previously ungated): six tables with the cross-dimension
+    equality c_nationkey = s_nationkey (customer and supplier must share
+    a nation — the classic 'local supplier volume'), region-restricted,
+    every dimension broadcast so the only shuffled side is the fact
+    chain. Also the first gate exercising region/nation/supplier."""
     cu = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    seg = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cu), orders["o_custkey"] == cu["c_custkey"])
         .groupBy("c_mktsegment")
@@ -82,7 +88,36 @@ def _q_market_join(spark, sf_dir):
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
+        .select(
+            F.lit("segment").alias("part"), F.col("c_mktsegment").alias("key"),
+            "revenue", "n_orders",
+        )
     )
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    q5 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cu), orders["o_custkey"] == cu["c_custkey"])
+        .join(
+            F.broadcast(su),
+            (li["l_suppkey"] == su["s_suppkey"])
+            & (cu["c_nationkey"] == su["s_nationkey"]),
+        )
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re.filter(F.col("r_name") == "ASIA")),
+              na["n_regionkey"] == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .select(
+            F.lit("nation").alias("part"), F.col("n_name").alias("key"),
+            "revenue", "n_orders",
+        )
+    )
+    return seg.unionByName(q5)
 
 
 def _q_semi_join(spark, sf_dir):
@@ -2013,13 +2048,25 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["market_join"] = """
-        SELECT c_mktsegment,
+        SELECT 'segment' AS part, c_mktsegment AS key,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
                COUNT(DISTINCT o_orderkey) AS n_orders
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'nation' AS part, n_name AS key,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
     """
 
     sql["semi_join"] = """
