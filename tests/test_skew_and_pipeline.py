@@ -166,3 +166,24 @@ def test_assign_count_variants_identical(spark):
     plan_f = fused._jdf.queryExecution().executedPlan().toString()
     plan_s = salted._jdf.queryExecution().executedPlan().toString()
     assert plan_f.count("Exchange") < plan_s.count("Exchange"), (plan_f, plan_s)
+
+
+def test_gate_plans_have_no_pathological_joins(spark):
+    """Plan guard over representative relational gates: no
+    BroadcastNestedLoopJoin and no CartesianProduct may appear (the two
+    shapes that silently turn a 100 TB join into a full cross of the
+    inputs). The two declared exactness baselines (embedding_neardup's
+    all-pairs, knn_label_accuracy's brute candidates) are exempt by
+    design and not listed here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in ["market_join", "semi_join", "url_curation", "pricing_summary",
+                 "iceberg_deletes", "cms_tokens", "value_quantiles"]:
+        plan = qs[name](spark, "/root/testdata/sf0.001")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
