@@ -79,7 +79,10 @@ def compare_composites(
     )
     for i, m in enumerate(mask_sets):
         j = j.join(
-            m.select("z", "x", "y", F.col("data").alias(f"d{i + 1}")),
+            m.select(
+                "z", "x", "y", F.col("w").alias(f"w{i + 1}"),
+                F.col("h").alias(f"h{i + 1}"), F.col("data").alias(f"d{i + 1}"),
+            ),
             ["z", "x", "y"],
         )
     n = len(mask_sets)
@@ -89,6 +92,16 @@ def compare_composites(
             rows = []
             for r in pdf.itertuples(index=False):
                 w, h = int(r.w), int(r.h)
+                # the reference asserts image.size == mask.size per tile
+                # (compare.py:34,41); a transposed mask has the same byte
+                # count and would reshape into a silently garbled strip
+                for i in range(1, n + 1):
+                    mw, mh = int(getattr(r, f"w{i}")), int(getattr(r, f"h{i}"))
+                    if (mw, mh) != (w, h):
+                        raise ValueError(
+                            f"mask set {i - 1} tile z={r.z}/{r.x}/{r.y} is "
+                            f"{mw}x{mh}, label is {w}x{h}"
+                        )
                 grids = [
                     np.frombuffer(getattr(r, f"d{i}"), dtype=np.uint8).reshape(h, w)
                     for i in range(n + 1)

@@ -93,7 +93,6 @@ def test_compare_composites_hstack_and_keep_rule(spark, tmp_path):
     (compare.py:44-68), written as slippy PNGs by the from-scratch codec
     and decoded back bit-exactly."""
     import numpy as np
-    import pyspark.sql.functions as F  # noqa: F401
 
     from robosat_spark.__main__ import main
     from robosat_spark.kernels.png import decode_png
@@ -118,6 +117,18 @@ def test_compare_composites_hstack_and_keep_rule(spark, tmp_path):
     # 0.0 is inside [0, 0.2] — the reference's >=min and <=max rule)
     kept = compare_composites(labels, [masks], maximum=0.2).collect()
     assert [r["x"] for r in kept] == [11]
+
+    # a dimension-mismatched mask must fail loudly, not garble (the
+    # reference asserts image.size == mask.size per tile)
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    bad = spark.createDataFrame(
+        # same 64-byte payload, different declared dims (16x4 vs 8x8)
+        [(18, 10, 20, 16, 4, m_fg.reshape(4, 16).copy().tobytes())], schema
+    )
+    with pytest.raises(PythonException, match="16x4, label is 8x8"):
+        compare_composites(labels, [bad]).collect()
 
     # CLI end-to-end: metrics parquet + composite PNG roundtrip
     ldir, mdir = str(tmp_path / "l"), str(tmp_path / "m")

@@ -161,15 +161,13 @@ def test_registered_domain_sql_twin_matches_python_reference():
     label = st.text(alphabet="abCo.UK09-", min_size=1, max_size=6)
     host_s = st.lists(label, min_size=1, max_size=5).map(".".join)
 
+    con = duckdb.connect()
+    expr = registered_domain_sql("?")
+
     @settings(max_examples=50, deadline=None)
     @given(host_s)
     def prop(host):
-        con = duckdb.connect()
-        con.execute("CREATE TABLE h(host VARCHAR)")
-        con.execute("INSERT INTO h VALUES (?)", [host])
-        got = con.execute(
-            "SELECT " + registered_domain_sql("host") + " FROM h"
-        ).fetchone()[0]
+        got = con.execute("SELECT " + expr, [host] * expr.count("?")).fetchone()[0]
         assert got == py_ref(host), (host, got, py_ref(host))
 
     prop()

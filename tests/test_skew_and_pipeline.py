@@ -175,9 +175,6 @@ def test_gate_plans_have_no_pathological_joins(spark):
     inputs). The two declared exactness baselines (embedding_neardup's
     all-pairs, knn_label_accuracy's brute candidates) are exempt by
     design and not listed here."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
 
     qs = e.queries()
