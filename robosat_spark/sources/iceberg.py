@@ -752,7 +752,8 @@ def delete_rows(spark, table_path: str, filters=None, timestamp_ms: int | None =
 
 
 def delete_rows_equality(spark, table_path: str, keys_df, key_cols,
-                         timestamp_ms: int | None = None) -> int:
+                         timestamp_ms: int | None = None,
+                         rows_per_shard: int = 1 << 20) -> int:
     """Commit an EQUALITY-DELETE snapshot (Iceberg v2, data_file.content=2):
     every row whose ``key_cols`` values match a row of ``keys_df`` is
     logically deleted from data files with sequence number STRICTLY LESS
@@ -760,9 +761,15 @@ def delete_rows_equality(spark, table_path: str, keys_df, key_cols,
     LATER with the same keys stay live, which is what makes this the
     upsert building block: delete-by-key + append-new-version).
 
-    ``keys_df``: a (small) DataFrame with exactly ``key_cols`` columns.
-    Readers apply it as a broadcast anti-join on the key columns gated by
-    the per-file sequence number. Returns the new snapshot id."""
+    ``keys_df``: a DataFrame with exactly ``key_cols`` columns. The key
+    set is range-sharded by the key columns at ``rows_per_shard`` rows per
+    file (same treatment the position-tombstone path got: a corpus-scale
+    MERGE touching 1% of 10^12 rows must not serialize its key write
+    through one task). Maintenance-scale key sets still produce a single
+    file. Readers apply the set as an anti-join on the key columns gated
+    by the per-file sequence number — broadcast while it fits the budget,
+    shuffle anti-join beyond it (see ``IcebergTable.scan``). Returns the
+    new snapshot id."""
     table_path = os.path.abspath(table_path)
     t = IcebergTable(table_path)
     meta = t.meta
@@ -773,9 +780,16 @@ def delete_rows_equality(spark, table_path: str, keys_df, key_cols,
     eq_ids = [ids_by_name[c] for c in key_cols]
 
     del_dir = os.path.join(table_path, "data", f"snap-{snap_id}-eqdeletes")
-    keys_df.select(*key_cols).dropDuplicates().repartition(1).sortWithinPartitions(
-        *key_cols
-    ).write.mode("overwrite").parquet(del_dir)
+    keys = keys_df.select(*key_cols).dropDuplicates()
+    keys.persist()  # count + write read the dedup shuffle once
+    try:
+        n_keys = keys.count()
+        n_shards = max(1, min(64, -(-n_keys // max(1, rows_per_shard))))
+        keys.repartitionByRange(n_shards, *key_cols).sortWithinPartitions(
+            *key_cols
+        ).write.mode("overwrite").parquet(del_dir)
+    finally:
+        keys.unpersist()
 
     import pyarrow.parquet as pq
 
@@ -1123,10 +1137,12 @@ class IcebergTable:
         return tasks, report
 
     def plan_delete_entries(self, snapshot_id=None, as_of_ms=None) -> list[dict]:
-        """[{path, content, seq, equality_cols}] for the snapshot's delete
-        files (content=1 position, content=2 equality). Empty for
-        pre-delete snapshots — time travel to before a delete naturally
-        sees the undeleted rows."""
+        """[{path, content, seq, equality_cols, record_count}] for the
+        snapshot's delete files (content=1 position, content=2 equality).
+        Empty for pre-delete snapshots — time travel to before a delete
+        naturally sees the undeleted rows. ``record_count`` comes from the
+        manifest (no file I/O) and is what lets the scanner size-gate the
+        equality-delete anti-join without touching the delete files."""
         snap = self._resolve_snapshot(snapshot_id, as_of_ms)
         _s, manifests = read_container_file(snap["manifest-list"])
         by_id = {f["id"]: f["name"] for f in self.schema_fields}
@@ -1144,6 +1160,7 @@ class IcebergTable:
                     "content": d.get("content", 1),
                     "seq": e.get("sequence_number") or mf.get("sequence_number", 0),
                     "equality_cols": [by_id[i] for i in d.get("equality_ids") or []],
+                    "record_count": d.get("record_count") or 0,
                 })
         return out
 
@@ -1225,7 +1242,8 @@ class IcebergTable:
         return spark.read.schema(ddl).parquet(*[t.path for t in tasks])
 
     # -- scan --------------------------------------------------------------
-    def scan(self, spark, snapshot_id=None, as_of_ms=None, filters=None):
+    def scan(self, spark, snapshot_id=None, as_of_ms=None, filters=None,
+             eq_delete_broadcast_max_rows: int = 4 << 20):
         """-> DataFrame over the snapshot, file-pruned by ``filters`` and
         re-filtered Spark-side (semantics never depend on pruning).
         Position-delete files (v2 merge-on-read) are applied as a
@@ -1233,7 +1251,14 @@ class IcebergTable:
         set is maintenance-scale next to the data (a shuffle anti-join
         would reshuffle the whole scan); a table whose deletes outgrow
         the broadcast budget should be compacted (``compact_table``
-        materializes deletes away)."""
+        materializes deletes away).
+
+        Equality-delete sets (the MERGE/upsert key path) are size-gated
+        by the manifests' record counts: a set at or below
+        ``eq_delete_broadcast_max_rows`` is broadcast; a corpus-scale key
+        set falls back to a shuffle anti-join (sort-merge on the null-safe
+        key equality, the per-file sequence gate applied as the join's
+        residual condition) rather than blowing the broadcast budget."""
         from pyspark.sql import functions as F
 
         tasks, _report = self.plan_files(snapshot_id, as_of_ms, filters)
@@ -1282,15 +1307,18 @@ class IcebergTable:
             )
             groups: dict = {}
             for d in eq_dels:
-                groups.setdefault((d["seq"], tuple(d["equality_cols"])), []).append(d["path"])
-            for (dseq, cols), paths in sorted(groups.items()):
-                keys = spark.read.parquet(*paths).select(
+                groups.setdefault((d["seq"], tuple(d["equality_cols"])), []).append(d)
+            for (dseq, cols), dels in sorted(groups.items()):
+                keys = spark.read.parquet(*[d["path"] for d in dels]).select(
                     *[F.col(c).alias(f"__k_{c}") for c in cols]
                 ).dropDuplicates()
                 cond = F.col("__seq") < F.lit(dseq)
                 for c in cols:
                     cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
-                df = df.join(F.broadcast(keys), cond, "left_anti")
+                n_keys = sum(d["record_count"] for d in dels)
+                if n_keys <= eq_delete_broadcast_max_rows:
+                    keys = F.broadcast(keys)
+                df = df.join(keys, cond, "left_anti")
             df = df.drop("__seq")
         if pos_paths or eq_dels:
             df = df.drop("__fp")
