@@ -2352,7 +2352,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["dedup_exact"] = """
-        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key,
+        SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS key,
                MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dupes
         FROM documents
         GROUP BY 1
@@ -2458,14 +2458,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {simhash_sql(32)} AS simhash FROM documents
     """
 
-    wsql = r"regexp_split_to_array(trim(text), '\s+')"
+    # explicit whitespace class, NOT '\s': Java \s includes \x0B, RE2's
+    # excludes it — the class keeps Spark and DuckDB token sets identical
+    wsql = r"regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')"
 
     sql["top_tokens"] = r"""
         SELECT token, n, rank FROM (
           SELECT token, n,
                  ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
           FROM (SELECT token, COUNT(*) AS n
-                FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS token
                       FROM documents)
                 WHERE token != '' GROUP BY token))
         WHERE rank <= 20
@@ -2846,7 +2848,7 @@ def oracle_sql() -> dict[str, str]:
     stops = " + ".join(
         rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in STOPWORDS_EN
     )
-    toks = r"CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END"
+    toks = r"CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) END"
     stop_ratio = f"CASE WHEN ({toks}) > 0 THEN ({stops})::DOUBLE / ({toks}) ELSE 0.0 END"
     punct = (
         "CASE WHEN length(text) > 0 THEN "
@@ -2863,7 +2865,7 @@ def oracle_sql() -> dict[str, str]:
     sql["text_metrics"] = f"""
         SELECT doc_id,
                {toks} AS n_tokens,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]')) AS n_subwords,
                ROUND({punct}, 6) AS punct_ratio,
                ROUND({alpha}, 6) AS alpha_ratio,
                ROUND({stop_ratio}, 6) AS stop_ratio,
@@ -2875,7 +2877,7 @@ def oracle_sql() -> dict[str, str]:
                ROUND(1.0 - CAST(len({shg}) AS DOUBLE)
                          / CAST(GREATEST(len({wsql}) - 2, 1) AS DOUBLE), 6) AS rep_ratio,
                ROUND(CASE WHEN ({toks}) > 0
-                     THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                     THEN CAST(length(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]', '', 'g')) AS DOUBLE)
                           / ({toks}) ELSE 0.0 END, 6) AS mean_word_len,
                ROUND(CASE WHEN length(text) > 0
                      THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
@@ -2884,11 +2886,11 @@ def oracle_sql() -> dict[str, str]:
                       + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
                      / GREATEST({toks}, 1), 6) AS symbol_word_ratio,
                ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\n'),
-                                          l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+                                          l -> regexp_matches(l, '^[ \\t\\n\\r\\f\\x0B]*[-*•]'))) AS DOUBLE)
                      / GREATEST(len(regexp_split_to_array(text, '\n')), 1), 6)
                  AS bullet_line_ratio,
                ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\n'),
-                                          l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+                                          l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t\\n\\r\\f\\x0B]*$'))) AS DOUBLE)
                      / GREATEST(len(regexp_split_to_array(text, '\n')), 1), 6)
                  AS ellipsis_line_ratio,
                len(regexp_extract_all(text,
@@ -2928,7 +2930,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cms_tokens"] = f"""
         WITH toks AS (
           SELECT token FROM (
-            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS token
             FROM documents)
           WHERE token != ''
         ),

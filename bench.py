@@ -333,7 +333,8 @@ def main():
     print(compact_tail_line(payload, timings))
 
 
-def compact_tail_line(payload: dict, timings: dict, cap: int = 1900) -> str:
+def compact_tail_line(payload: dict, timings: dict, cap: int = 1900,
+                      scaling_path: str | None = None) -> str:
     """The LAST stdout line, guaranteed < ``cap`` chars so the driver's
     ~2000-char tail capture can never truncate it mid-JSON (r3's trial
     arrays and r4's "compact" line — which still carried both full
@@ -353,13 +354,20 @@ def compact_tail_line(payload: dict, timings: dict, cap: int = 1900) -> str:
     compact["slowest"] = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     # north-rule number from the most recent tools/bench_scaling.py run
     # (pinned-core pair measurement — not re-measurable inside this
-    # unpinned suite process), so the per-round record carries it
+    # unpinned suite process), so the per-round record carries it. On any
+    # read error the key is PRESENT-BUT-NULL, never silently absent — a
+    # missing scaling file must be visible in the official record, not
+    # look like the field was never emitted (r5 VERDICT item 6).
+    if scaling_path is None:
+        scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "BENCH", "scaling_latest.json")
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH", "scaling_latest.json")) as f:
+        with open(scaling_path) as f:
             compact["eff_2to8_recorded"] = json.load(f)["value"]
-    except (OSError, KeyError, ValueError):
-        pass
+    except (OSError, KeyError, ValueError) as e:
+        compact["eff_2to8_recorded"] = None
+        print(f"bench: WARNING scaling_latest.json unreadable ({e!r}); "
+              "eff_2to8_recorded=null", file=sys.stderr)
     line = json.dumps(compact)
     while len(line) >= cap and compact["slowest"]:
         compact["slowest"].popitem()

@@ -304,9 +304,12 @@ def cmd_curate(spark, args):
     df = spark.read.parquet(args.pages)
     n_in = df.count()
     if args.blocklist:
+        # lowercase to match the lowercased registered_domain join key
+        # (a mixed-case entry would silently never match), skip blank
+        # lines and '#' comments — the common hosts-file conventions
         bl = spark.read.text(args.blocklist).select(
-            F.trim(F.col("value")).alias("domain")
-        ).filter(F.col("domain") != "")
+            F.lower(F.trim(F.col("value"))).alias("domain")
+        ).filter((F.col("domain") != "") & ~F.col("domain").startswith("#"))
         df = filter_blocklisted_domains(df, bl, url_col=args.url_col)
     if args.min_quality is not None:
         df = df.filter(quality_score(F.col(args.text_col)) >= args.min_quality)

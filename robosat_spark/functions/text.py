@@ -22,19 +22,29 @@ LANG_MARKERS = {
 
 STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
+# Java's \s includes vertical tab \x0B; RE2's (DuckDB's) does not — a
+# document containing a VT would tokenize differently across engines and
+# flip every token-derived gate (r5 ADVICE). Every whitespace split /
+# collapse uses this explicit class so the split set is
+# dialect-independent; oracle SQL twins embed the same class literally.
+WS_CLASS = r"[ \t\n\r\f\x0B]"
+WS_RUN = WS_CLASS + "+"
+
 
 def token_count(text: Column) -> Column:
     """Whitespace token count (BPE-ish proxy: words + punctuation runs are a
     separate count, see ``subword_count``)."""
     trimmed = F.trim(text)
-    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, WS_RUN))).cast("long")
 
 
 def subword_count(text: Column) -> Column:
     """BPE-ish token estimate: count of letter-runs, digit-runs and
     single punctuation marks (regexp token classes)."""
     return (
-        F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+        F.size(F.regexp_extract_all(
+            text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"), F.lit(0)
+        ))
     ).cast("long")
 
 
@@ -69,7 +79,7 @@ def mean_word_length(text: Column) -> Column:
     non-whitespace chars / token count — identical to summing token
     lengths for a whitespace split, without a higher-order pass."""
     n = token_count(text)
-    chars = F.length(F.regexp_replace(text, r"\s", ""))
+    chars = F.length(F.regexp_replace(text, WS_CLASS, ""))
     return F.when(n > 0, chars.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -94,7 +104,7 @@ def bullet_line_ratio(text: Column) -> Column:
     """Fraction of lines starting with a bullet (-, *, •) — Gopher flags
     > 90% bullet lines as list-boilerplate."""
     lines = F.split(text, "\n")
-    bullets = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    bullets = F.size(F.filter(lines, lambda l: l.rlike("^" + WS_CLASS + "*[-*•]")))
     return bullets.cast("double") / F.greatest(F.size(lines), F.lit(1)).cast("double")
 
 
@@ -102,7 +112,7 @@ def ellipsis_line_ratio(text: Column) -> Column:
     """Fraction of lines ending with an ellipsis ('...' or U+2026) —
     Gopher flags > 30% as truncated-preview boilerplate."""
     lines = F.split(text, "\n")
-    ell = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    ell = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)" + WS_CLASS + "*$")))
     return ell.cast("double") / F.greatest(F.size(lines), F.lit(1)).cast("double")
 
 
@@ -185,4 +195,4 @@ def extract_text_from_html(html: Column) -> Column:
 
 def normalized_text(text: Column) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, strip."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(text), WS_RUN, " "))

@@ -27,8 +27,12 @@ from pyspark.sql import functions as F
 
 
 def words(text: Column) -> Column:
-    """Whitespace word array (split on runs, trimmed)."""
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace word array (split on runs, trimmed). Splits on the
+    explicit dialect-independent class (see functions.text.WS_RUN) so the
+    DuckDB oracle twins tokenize identically even around \\x0B."""
+    from ..functions.text import WS_RUN
+
+    return F.split(F.trim(text), WS_RUN)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -382,7 +386,7 @@ def simhash_pairs_banded(
 def simhash_sql(bits: int = 32) -> str:
     """The DuckDB twin of ``simhash`` (same md5 family, same fold), as a SQL
     expression over a column named ``text``."""
-    hs = r"list_transform(regexp_split_to_array(trim(text), '\s+'), x -> ('0x'||substr(md5(x),1,15))::BIGINT)"
+    hs = r"list_transform(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+'), x -> ('0x'||substr(md5(x),1,15))::BIGINT)"
     terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform({hs}, v -> ((v >> {j}) & 1)*2 - 1)) > 0"
         f" THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
@@ -393,7 +397,8 @@ def simhash_sql(bits: int = 32) -> str:
 
 def shingles_sql(k: int = 3) -> str:
     """DuckDB twin of ``word_shingles`` as a SQL expression over ``text``."""
-    w = r"regexp_split_to_array(trim(text), '\s+')"
+    # same explicit class as functions.text.WS_RUN (Java-vs-RE2 \s parity)
+    w = r"regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')"
     return (
         f"list_distinct(list_transform(generate_series(1, greatest(len({w})-{k - 1}, 1)), "
         f"i -> array_to_string(({w})[i:i+{k - 1}], ' ')))"

@@ -228,7 +228,7 @@ def hist_bin(value: Column, lo: Column, wd: Column, nb: int) -> Column:
 
 
 def hist_quantiles(df: DataFrame, col: str, by: str, qs: dict,
-                   nb: int = 64) -> DataFrame:
+                   nb: int = 64, materialize: bool = True) -> DataFrame:
     """-> (by, <name> per ``qs``): approximate quantiles read off the
     equi-width histogram by cumulative walk + linear interpolation
     within the covering bin (target rank q*n; first bin whose running
@@ -236,7 +236,17 @@ def hist_quantiles(df: DataFrame, col: str, by: str, qs: dict,
     profile readout when the exact percentile's full sort/shuffle at
     10^12 rows is the thing being avoided. ``qs``: {"p50": 0.5, ...};
     ``__n`` counts non-NULL values only (the percentile population).
-    Deterministic double arithmetic; DuckDB replays it exactly."""
+    Deterministic double arithmetic; DuckDB replays it exactly.
+
+    ``materialize=True`` (default) runs an EAGER localCheckpoint of the
+    (tiny, <= nb rows/group) cumulative table at CALL time — a Spark job
+    fires inside this query builder, and the checkpoint's executor-local
+    storage blocks stay pinned until the executor GCs them (the caller
+    cannot unpersist a DataFrame it never sees). Without it, every
+    per-quantile branch below re-runs the full input scan + aggregation
+    (len(qs) scans). Pass ``materialize=False`` for plan-only use —
+    composing into a streaming query, explaining, or when the caller
+    caches ``df`` itself and prefers recomputation over pinned blocks."""
     from pyspark.sql import Window
 
     stats = df.groupBy(by).agg(
@@ -244,10 +254,9 @@ def hist_quantiles(df: DataFrame, col: str, by: str, qs: dict,
     )
     h = hist_buckets(df, col, by, nb).join(F.broadcast(stats), by)
     cum = F.sum("cnt").over(Window.partitionBy(by).orderBy("bucket"))
-    # materialize the (tiny, <= nb rows/group) cumulative table ONCE:
-    # each per-quantile pick below is a separate branch, and without the
-    # checkpoint every branch re-runs the full input scan + aggregation
-    h = h.withColumn("cum", cum).localCheckpoint()
+    h = h.withColumn("cum", cum)
+    if materialize:
+        h = h.localCheckpoint()
     wd = (F.col("__mx") - F.col("__mn")) / F.lit(float(nb))
     out = stats.select(by)
     for name, q in qs.items():

@@ -4,11 +4,24 @@ The engine extension for the task brief's "applyInPandasWithState for
 custom stateful operators": a streaming groupBy(tile) that keeps a running
 (count, first_seen, last_seen) state per tile across micro-batches and
 emits the updated row whenever a batch touches the tile. With ``ttl_ms``
-set, state is bounded by a processing-time timeout so idle tiles age out
-— at 10^12 pages the touched-tile universe is ~10^8 z18 keys, and an
-unbounded state store is the classic streaming OOM (the streaming analog
-of the reference's incremental rerun bookkeeping,
+set, state is bounded by a timeout so idle tiles age out — at 10^12 pages
+the touched-tile universe is ~10^8 z18 keys, and an unbounded state store
+is the classic streaming OOM (the streaming analog of the reference's
+incremental rerun bookkeeping,
 /root/reference/robosat/tools/download.py:48-49).
+
+Two TTL clocks (r5 VERDICT item 3):
+
+- ``event`` (default): the timeout is keyed to the stream's WATERMARK —
+  a tile is evicted when the watermark passes its last event time +
+  ``ttl_ms``. Because the deadline rides the data's own clock, timers
+  fire under BOTH ``processingTime`` and ``availableNow`` triggers (the
+  watermark advances between micro-batches of a drain), so the TTL is
+  testable in the engine's own batch-drain mode. Requires the input to
+  carry a watermark (``withWatermark``).
+- ``processing``: wall-clock ``ProcessingTimeTimeout``. Continuous
+  triggers only — under ``availableNow`` the drained query waits on
+  wall-clock timers that never fire and hangs (measured).
 """
 
 from __future__ import annotations
@@ -23,7 +36,7 @@ STATE_SCHEMA = "count LONG, first_ts TIMESTAMP, last_ts TIMESTAMP"
 OUTPUT_SCHEMA = "tile_id LONG, count LONG, first_ts TIMESTAMP, last_ts TIMESTAMP"
 
 
-def _make_update_fn(ttl_ms: int | None):
+def _make_update_fn(ttl_ms: int | None, event_time: bool):
     def _update_tile_state(
         key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -49,7 +62,16 @@ def _make_update_fn(ttl_ms: int | None):
             last = l0 if last is None else max(last, l0)
         state.update((total, first, last))
         if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
+            if event_time:
+                # deadline = last event this tile saw + ttl, clamped one
+                # past the current watermark (Spark rejects deadlines at
+                # or before it — a tile already past due is evicted at
+                # the NEXT watermark advance, not resurrected forever)
+                last_ms = int(pd.Timestamp(last).value // 1_000_000)
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm + 1))
+            else:
+                state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {"tile_id": [key[0]], "count": [total], "first_ts": [first],
              "last_ts": [last]}
@@ -58,25 +80,31 @@ def _make_update_fn(ttl_ms: int | None):
     return _update_tile_state
 
 
-def streaming_tile_state(points: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+def streaming_tile_state(
+    points: DataFrame, ttl_ms: int | None = None, ttl_mode: str = "event"
+) -> DataFrame:
     """points(tile_id, warc_ts, ...) stream -> running per-tile counters.
 
     Output mode must be ``update``; each micro-batch emits one row per
     touched tile with the accumulated totals. ``ttl_ms`` bounds the state
-    store: a tile untouched for that long (processing time) is evicted
-    and restarts from zero on its next page. Use the TTL only with a
-    CONTINUOUS trigger (processingTime) — under ``availableNow`` the
-    drained query waits on processing-time timers that never fire and
-    hangs (measured), which is also why the parity test runs the
-    unbounded variant."""
+    store: a tile idle for that long is evicted and restarts from zero on
+    its next page. ``ttl_mode='event'`` (default) keys the timeout to the
+    stream's watermark — ``points`` must carry one
+    (``withWatermark('warc_ts', ...)``) — and works under availableNow
+    drains; ``'processing'`` uses wall-clock timers and needs a
+    processingTime trigger (see module docstring)."""
+    if ttl_mode not in ("event", "processing"):
+        raise ValueError(f"ttl_mode must be 'event' or 'processing', got {ttl_mode!r}")
+    if ttl_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif ttl_mode == "event":
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return points.groupBy("tile_id").applyInPandasWithState(
-        _make_update_fn(ttl_ms),
+        _make_update_fn(ttl_ms, ttl_mode == "event"),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=timeout,
     )

@@ -216,7 +216,9 @@ def test_cli_curate_and_sketch(spark, tmp_path, capsys):
         "id LONG, url STRING, text STRING",
     )
     src = str(tmp_path / "pages"); pages.write.parquet(src)
-    bl = tmp_path / "bl.txt"; bl.write_text("spam.biz\n")
+    # mixed-case entry + comment line: both must normalize (the join key
+    # is lowercased eTLD+1, so 'Spam.BIZ' would otherwise never match)
+    bl = tmp_path / "bl.txt"; bl.write_text("# ad networks\nSpam.BIZ\n")
     out = str(tmp_path / "kept")
     main(["curate", "--pages", src, "--out", out, "--blocklist", str(bl),
           "--redact"], spark=spark)

@@ -431,3 +431,40 @@ def test_kmeans_ivf_recall_beats_first_n(spark):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0, (r0, r2)
     assert r2 >= 0.6, r2
+
+
+def test_vertical_tab_tokenizes_identically_spark_vs_duckdb(spark):
+    """Java \\s includes \\x0B, RE2's excludes it — the explicit WS class
+    must make Spark and DuckDB split identically on a VT-bearing document
+    (r5 ADVICE: a VT would flip cms_tokens/top_tokens/token_stats)."""
+    import duckdb
+
+    from robosat_spark.functions.text import normalized_text, token_count
+    from robosat_spark.operators.dedup import shingles_sql, words
+
+    text = "alpha\x0bbeta  gamma\tdelta\ngamma beta"
+    df = spark.createDataFrame([(text,)], "text STRING")
+    row = df.select(
+        words(F.col("text")).alias("w"),
+        token_count(F.col("text")).alias("n"),
+        normalized_text(F.col("text")).alias("norm"),
+        word_shingles(F.col("text"), 3).alias("sh"),
+    ).first()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 'alpha' || chr(11) || 'beta  gamma' "
+        "|| chr(9) || 'delta' || chr(10) || 'gamma beta' AS text"
+    )
+    wsql = r"regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')"
+    norm = r"trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))"
+    o = con.execute(
+        f"SELECT {wsql} AS w, len({wsql}) AS n, {norm} AS norm, "
+        f"{shingles_sql(3)} AS sh FROM documents"
+    ).fetchone()
+    assert list(row["w"]) == list(o[0]) == [
+        "alpha", "beta", "gamma", "delta", "gamma", "beta"
+    ]
+    assert row["n"] == o[1] == 6
+    assert row["norm"] == o[2]
+    assert sorted(row["sh"]) == sorted(o[3])

@@ -57,6 +57,28 @@ def test_bench_tail_line_always_fits():
     assert json.loads(bench.compact_tail_line(payload, {}))["metric"]
 
 
+def test_bench_tail_line_missing_scaling_is_null_not_absent(capsys):
+    """An unreadable scaling_latest.json must yield eff_2to8_recorded:
+    null in the official record (plus a stderr warning), never a silently
+    absent key — the north-rule number vanishing without a trace is how
+    record defects hide (r5 VERDICT item 6)."""
+    import json
+
+    import bench
+
+    payload = {
+        "metric": "m", "value": 1.0, "unit": "rows/sec", "trials": 1,
+        "sf": 0.1, "cpus": 8, "joined_rows": 1, "steal_pct": {"flagship": 0.0},
+    }
+    line = bench.compact_tail_line(payload, {}, scaling_path="/nonexistent/s.json")
+    parsed = json.loads(line)
+    assert "eff_2to8_recorded" in parsed and parsed["eff_2to8_recorded"] is None
+    assert "scaling_latest" in capsys.readouterr().err
+    # and with a readable file the recorded value flows through
+    ok = json.loads(bench.compact_tail_line(payload, {}))
+    assert isinstance(ok["eff_2to8_recorded"], float)
+
+
 def test_bench_name_list_resolves():
     # bench.py's run_suite silently SKIPS names missing from
     # bench_queries(), which would drop a query from the record with no
