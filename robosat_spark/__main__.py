@@ -20,6 +20,8 @@ GeoJSON for features), call the operator, write parquet/GeoJSON.
     python -m robosat_spark curate    --pages P --out O [--blocklist F]
                                       [--min-quality Q] [--redact]
     python -m robosat_spark sketch    {hll,cms} --path P --col C [--out O]
+    python -m robosat_spark sketch    merge --rule {hll,cms,hist,bloom}
+                                      --inputs R1 R2 ... --out O
 
 Reference tool parity: cover/rasterize/predict/masks/features/merge/dedupe/
 subset/compare/weights/download/serve map to the 14-tool registry of
@@ -323,11 +325,40 @@ def cmd_curate(spark, args):
 def cmd_sketch(spark, args):
     """Distinct-count (HLL) or point-frequency (CMS) sketch over one
     column of a parquet table: writes the register/counter table (the
-    re-aggregatable slice artifact) and prints the readout."""
+    re-aggregatable slice artifact) and prints the readout. ``sketch
+    merge`` combines previously stored register tables (parquet or
+    Iceberg) by the family's rule — MAX for HLL, SUM for CMS/histogram,
+    set UNION for Bloom — the merge-later half of the sketch-per-slice
+    lineage pattern."""
+    import os
+
     from pyspark.sql import functions as F
 
     from .operators.sketch import cms_buckets, hll_buckets, hll_estimate
 
+    if args.kind == "merge":
+        if not args.inputs or not args.out:
+            raise SystemExit("sketch merge requires --inputs and --out")
+        from .operators.sketch import merge_sketch_slices
+        from .sources.iceberg import IcebergTable
+
+        def load(path):
+            if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
+                return IcebergTable(path).scan(spark)
+            return spark.read.parquet(path)
+
+        merged = merge_sketch_slices([load(p) for p in args.inputs], args.rule)
+        merged.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        msg = f"merged {len(args.inputs)} {args.rule} register tables -> {args.out} ({n} rows)"
+        if args.rule == "hll":
+            est = merged.agg(hll_estimate(p=args.p)).first()["estimate"]
+            msg += f"; estimated {est:.1f} distinct"
+        print(msg)
+        return
+
+    if not args.path or not args.col:
+        raise SystemExit(f"sketch {args.kind} requires --path and --col")
     df = spark.read.parquet(args.path)
     if args.kind == "hll":
         regs = hll_buckets(df, args.col, p=args.p)
@@ -433,11 +464,15 @@ def build_parser():
                     help="rewrite emails/IPv4 literals to placeholder tokens")
     cu.set_defaults(func=cmd_curate)
 
-    sk = sub.add_parser("sketch"); sk.add_argument("kind", choices=["hll", "cms"])
-    sk.add_argument("--path", required=True); sk.add_argument("--col", required=True)
+    sk = sub.add_parser("sketch"); sk.add_argument("kind", choices=["hll", "cms", "merge"])
+    sk.add_argument("--path"); sk.add_argument("--col")
     sk.add_argument("--out", default=None)
     sk.add_argument("--p", type=int, default=12)
     sk.add_argument("--d", type=int, default=4); sk.add_argument("--w", type=int, default=4096)
+    sk.add_argument("--rule", choices=["hll", "cms", "hist", "bloom"], default="hll",
+                    help="merge rule for `sketch merge` (register-table family)")
+    sk.add_argument("--inputs", nargs="+", default=None,
+                    help="register tables to merge (parquet dirs or Iceberg tables)")
     sk.set_defaults(func=cmd_sketch)
     return p
 

@@ -366,3 +366,46 @@ def hll_sql(table_expr: str, col: str, p: int = 6) -> str:
         )
         SELECT regs.bucket, regs.max_rho, est.estimate FROM regs CROSS JOIN est
     """
+
+
+# -- persist-and-merge surface ------------------------------------------------
+#
+# The four sketches advertise re-aggregatability across table slices; at
+# 100 TB that means: sketch each partition/day into its own stored register
+# table, then merge the stored artifacts later WITHOUT rescanning the data.
+# merge_sketch_slices is the one definition of the merge rules; the
+# Iceberg roundtrip (write each slice's registers as a table, read back,
+# merge) is gated in the hll_distinct driver query and exposed as the
+# `sketch merge` CLI verb.
+
+SKETCH_MERGE_RULES = {
+    # kind -> (value column, merge aggregate); None = set-union distinct
+    "hll": ("max_rho", "max"),
+    "cms": ("cnt", "sum"),
+    "hist": ("cnt", "sum"),
+    "bloom": (None, "union"),
+}
+
+
+def merge_sketch_slices(slices: list[DataFrame], kind: str) -> DataFrame:
+    """Merge per-slice sketch register tables into the register table of
+    the union of the slices — exactly (not approximately): HLL registers
+    merge by bucket-wise MAX, CMS counters and histogram bins by cell-wise
+    SUM, Bloom set-bits by set UNION. Key columns are every column except
+    the rule's value column, so the same rule covers grouped variants
+    (e.g. hist with a ``by`` column or windowed streaming registers)."""
+    if kind not in SKETCH_MERGE_RULES:
+        raise ValueError(
+            f"kind must be one of {sorted(SKETCH_MERGE_RULES)}, got {kind!r}"
+        )
+    if not slices:
+        raise ValueError("no register tables to merge")
+    u = slices[0]
+    for s in slices[1:]:
+        u = u.unionByName(s)
+    val, how = SKETCH_MERGE_RULES[kind]
+    if how == "union":
+        return u.distinct()
+    keys = [c for c in u.columns if c != val]
+    agg = F.max(val) if how == "max" else F.sum(val)
+    return u.groupBy(*keys).agg(agg.alias(val))

@@ -237,6 +237,28 @@ def test_cli_curate_and_sketch(spark, tmp_path, capsys):
          spark=spark)
     assert "counter table" in capsys.readouterr().out
 
+    # `sketch merge`: per-slice register artifacts (one parquet, one
+    # Iceberg) MAX-merge into the whole-table registers
+    from robosat_spark.operators.sketch import hll_buckets
+    from robosat_spark.sources.iceberg import write_iceberg
+
+    docs = spark.read.parquet(src)
+    s0 = str(tmp_path / "regs0")
+    hll_buckets(docs.filter("id <= 1"), "url", p=8).write.parquet(s0)
+    s1 = str(tmp_path / "regs1")
+    write_iceberg(spark, hll_buckets(docs.filter("id > 1"), "url", p=8), s1,
+                  timestamp_ms=1000)
+    merged_out = str(tmp_path / "merged")
+    main(["sketch", "merge", "--rule", "hll", "--inputs", s0, s1,
+          "--out", merged_out, "--p", "8"], spark=spark)
+    assert "estimated" in capsys.readouterr().out
+    want = {tuple(r) for r in hll_buckets(docs, "url", p=8).collect()}
+    assert {tuple(r) for r in spark.read.parquet(merged_out).collect()} == want
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="--inputs"):
+        main(["sketch", "merge", "--out", merged_out], spark=spark)
+
 
 def test_cli_serve_http_roundtrip(spark, tmp_path):
     """`serve`: real HTTP GET /z/x/y.png against the stdlib server returns
