@@ -1830,17 +1830,76 @@ def _q_iceberg_deletes(spark, sf_dir):
 
 
 def _q_iceberg_scan_all(spark, sf_dir):
-    """Current-snapshot Iceberg scan through BOTH planners in one gate:
-    the driver-side planner (partition pruning) and the executor-side
-    distributed manifest fan-out must produce the identical table — one
-    oracle x 2 planner tags."""
+    """Current-snapshot Iceberg scan through BOTH planners plus the
+    bucket-transform paths in one gate: the driver-side planner
+    (partition pruning), the executor-side distributed manifest fan-out,
+    three point lookups through a bucket[8]-partitioned table (manifest
+    pruning proves ``doc_id = ?`` lives only in partition
+    ``bucket(?)``), and the spec murmur3 bucket values themselves
+    computed over every row (functions/bucket — the DuckDB twin replays
+    the identical 32-bit arithmetic, pinning both engines to the
+    published Iceberg spec vectors). One oracle x all tags."""
     a = _q_iceberg_scan(spark, sf_dir).select(
         F.lit("driver").alias("planner"), "source", "n_docs", "total_chars"
     )
     b = _q_iceberg_scan_distributed(spark, sf_dir).select(
         F.lit("executors").alias("planner"), "source", "n_docs", "total_chars"
     )
-    return a.unionByName(b)
+    return a.unionByName(b).unionByName(_q_iceberg_bucket(spark, sf_dir))
+
+
+_BUCKET_LOOKUP_IDS = (37, 205, 498)  # present at every SF (doc_id 0..499+)
+
+
+def _iceberg_bucket_docs_path(spark, sf_dir: str) -> str:
+    """Build-once bucket[8]-partitioned Iceberg table over ``documents``
+    keyed by doc_id — the keyed-table layout of a mutable corpus (the
+    identity transform would mint one directory per doc_id)."""
+    from robosat_spark.sources.iceberg import write_iceberg
+
+    def build(docs, path):
+        write_iceberg(
+            spark, docs, path, partition_by="doc_id",
+            partition_transform="bucket[8]",
+            stats_cols=("doc_id", "n_chars"), timestamp_ms=1000,
+        )
+
+    return _iceberg_documents_fixture(spark, sf_dir, "bucket8", 1, build)
+
+
+def _q_iceberg_bucket(spark, sf_dir):
+    """Bucket-transform parts of the iceberg_scan gate: per-key point
+    lookups through bucket pruning (results must be storage-invisible)
+    and the per-bucket composition of the whole table (cross-engine
+    value proof of the murmur3 bucket expression)."""
+    from robosat_spark.functions.bucket import with_bucket_long
+    from robosat_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(_iceberg_bucket_docs_path(spark, sf_dir))
+    parts = []
+    for k in _BUCKET_LOOKUP_IDS:
+        parts.append(
+            t.scan(spark, filters=[("doc_id", "=", k)])
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .select(F.lit(f"lookup{k}").alias("planner"), "source",
+                    "n_docs", "total_chars")
+        )
+    vals = (
+        with_bucket_long(
+            t.scan(spark).select("doc_id", "n_chars"), "doc_id", "b", 8
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(F.lit("bucketvals").alias("planner"),
+                F.col("b").cast("string").alias("source"),
+                "n_docs", "total_chars")
+    )
+    out = parts[0]
+    for p in parts[1:] + [vals]:
+        out = out.unionByName(p)
+    return out
 
 
 def _q_contamination(spark, sf_dir):
@@ -2065,6 +2124,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf": _q_ann_ivf,
             "hll_distinct": _q_hll_single,
             "hll_merged": _q_hll_merged,
+            "iceberg_bucket": _q_iceberg_bucket,
         }
     )
     return qs
@@ -2691,13 +2751,35 @@ def oracle_sql() -> dict[str, str]:
     # documents (snap 1 = ids <= (min+max)//2, snap 2 = the rest), so the
     # oracle is the plain parquet truth — current scan must equal the
     # union, snapshot 1 must equal the pre-append half
-    # consolidated: one truth x 2 planner tags (driver / executors)
-    sql["iceberg_scan"] = """
+    # consolidated: one truth x 2 planner tags (driver / executors), plus
+    # the bucket[8] parts — point lookups through the bucket-pruned table
+    # (storage must be invisible) and the spec murmur3 bucket of every
+    # doc_id replayed as identical 32-bit arithmetic (functions/bucket
+    # generates this SQL from the same algorithm body as the Spark plan)
+    from robosat_spark.functions.bucket import iceberg_bucket_long_sql_query
+
+    _bktq = iceberg_bucket_long_sql_query(
+        "SELECT doc_id, n_chars FROM documents", "doc_id", 8, out="b"
+    )
+    _lookups = "\n UNION ALL ".join(
+        f"""
+        SELECT 'lookup{k}' AS planner, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents WHERE doc_id = {k} GROUP BY source
+        """
+        for k in _BUCKET_LOOKUP_IDS
+    )
+    sql["iceberg_scan"] = f"""
         SELECT p.planner, o.source, o.n_docs, o.total_chars
         FROM (SELECT source, COUNT(*) AS n_docs,
                      CAST(SUM(n_chars) AS BIGINT) AS total_chars
               FROM documents WHERE lang = 'en' GROUP BY source) o
         CROSS JOIN (VALUES ('driver'), ('executors')) p(planner)
+        UNION ALL {_lookups}
+        UNION ALL
+        SELECT 'bucketvals' AS planner, CAST(b AS VARCHAR) AS source,
+               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM ({_bktq}) GROUP BY b
     """
     sql["iceberg_time_travel"] = """
         SELECT 'snapshot1' AS mode, lang, COUNT(*) AS n_docs, MAX(doc_id) AS edge_doc_id

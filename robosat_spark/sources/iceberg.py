@@ -127,15 +127,23 @@ def _kv_map_schema(name: str, key_id: int, value_id: int, value_type: str) -> di
 
 
 def _partition_avro_schema(spec_fields: list[dict], ice_schema: list[dict]) -> dict:
-    """Avro record for the data_file.partition struct (identity transforms)."""
+    """Avro record for the data_file.partition struct. Identity fields
+    carry the source column's type; bucket[N] fields are always int
+    (spec: the transform's result type)."""
+    from ..functions.bucket import parse_bucket_transform
+
     by_id = {f["id"]: f for f in ice_schema}
     fields = []
     for pf in spec_fields:
         src = by_id[pf["source-id"]]
+        ptype = (
+            "int" if parse_bucket_transform(pf.get("transform", "identity"))
+            else src["type"]
+        )
         fields.append(
             {
                 "name": pf["name"],
-                "type": ["null", _ICEBERG_TO_AVRO[src["type"]]],
+                "type": ["null", _ICEBERG_TO_AVRO[ptype]],
                 "field-id": pf["field-id"],
                 "default": None,
             }
@@ -301,9 +309,19 @@ def write_iceberg(
     partition_by: str | None = None,
     stats_cols: tuple[str, ...] = (),
     timestamp_ms: int | None = None,
+    partition_transform: str = "identity",
 ) -> int:
     """Append ``df`` as a new snapshot (creating the table if absent).
     Returns the new snapshot id. Deterministic: snapshot id = version.
+
+    ``partition_transform``: ``"identity"`` (one directory per distinct
+    ``partition_by`` value) or ``"bucket[N]"`` (the spec murmur3 bucket
+    transform over ``partition_by`` — see functions.bucket). Bucketing
+    the MERGE/join key caps the partition count at N regardless of key
+    cardinality and lets the scanner prune ``key = ?`` point lookups to
+    1/N of the files from manifests alone — the layout a mutable 100 TB
+    keyed table wants (identity on a high-cardinality key would create
+    one directory per key).
 
     ``table_path`` is normalized to an absolute path: Spark resolves
     relative write paths against the JVM working dir, not the Python
@@ -367,8 +385,12 @@ def write_iceberg(
     last_pfid = meta.get("last-partition-id", PARTITION_FIELD_ID_START - 1) if meta else (
         PARTITION_FIELD_ID_START - 1
     )
+    from ..functions.bucket import parse_bucket_transform
+
+    nb = parse_bucket_transform(partition_transform)
+    part_name = f"{partition_by}_bucket" if nb else partition_by
     want = (
-        [{"name": partition_by, "transform": "identity",
+        [{"name": part_name, "transform": partition_transform,
           "source-id": by_name[partition_by]["id"]}]
         if partition_by
         else []
@@ -397,19 +419,20 @@ def write_iceberg(
     from pyspark.sql import functions as F
 
     data_dir = os.path.join(table_path, "data", f"snap-{snap_id}")
+    part_info = _part_field_info(spec_fields[0] if spec_fields else None, ice_schema)
     w = df
-    if partition_by:
-        w = df.withColumn("__part", F.col(partition_by)).repartition(F.col("__part"))
+    if part_info:
+        w = _with_part_col(df, part_info, "__part").repartition(F.col("__part"))
         w.write.partitionBy("__part").mode("overwrite").parquet(data_dir)
     else:
         w.write.mode("overwrite").parquet(data_dir)
 
     entries = _manifest_entries_for_dir(
-        data_dir, ice_schema, stats_cols, partition_by, snap_id, seq
+        data_dir, ice_schema, stats_cols, part_info, snap_id, seq
     )
     man_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-m0.avro")
     write_container_file(man_path, manifest_entry_schema(spec_fields, ice_schema), entries)
-    part_summary = _partition_summary(entries, partition_by, by_name)
+    part_summary = _partition_summary(entries, part_info, by_name)
     new_manifest = _manifest_file_record(
         man_path, spec_id, seq, snap_id, entries, part_summary
     )
@@ -489,7 +512,7 @@ def compact_table(spark, table_path: str, target_files: int = 1,
     spec_fields = next(
         sp["fields"] for sp in meta["partition-specs"] if sp["spec-id"] == spec_id
     )
-    part_col = spec_fields[0]["name"] if spec_fields else None
+    part_info = _part_field_info(spec_fields[0] if spec_fields else None, ice_schema)
     # keep the same stats columns the existing manifests carry
     stats_cols = _existing_stats_cols(t)
     if sort_by and sort_by not in stats_cols:
@@ -497,9 +520,9 @@ def compact_table(spark, table_path: str, target_files: int = 1,
 
     df = t.scan(spark)
     data_dir = os.path.join(table_path, "data", f"snap-{snap_id}")
-    if sort_by and part_col:
+    if sort_by and part_info:
         w = (
-            df.withColumn("__part", F.col(part_col))
+            _with_part_col(df, part_info, "__part")
             .repartition(target_files, F.col("__part"))
             .sortWithinPartitions("__part", sort_by)
         )
@@ -511,17 +534,19 @@ def compact_table(spark, table_path: str, target_files: int = 1,
             .write.mode("overwrite")
             .parquet(data_dir)
         )
-    elif part_col:
-        w = df.withColumn("__part", F.col(part_col)).repartition(target_files, F.col("__part"))
+    elif part_info:
+        w = _with_part_col(df, part_info, "__part").repartition(
+            target_files, F.col("__part")
+        )
         w.write.partitionBy("__part").mode("overwrite").parquet(data_dir)
     else:
         df.coalesce(target_files).write.mode("overwrite").parquet(data_dir)
 
-    entries = _manifest_entries_for_dir(data_dir, ice_schema, stats_cols, part_col, snap_id, seq)
+    entries = _manifest_entries_for_dir(data_dir, ice_schema, stats_cols, part_info, snap_id, seq)
     man_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-m0.avro")
     write_container_file(man_path, manifest_entry_schema(spec_fields, ice_schema), entries)
     by_name = {f["name"]: f for f in ice_schema}
-    part_summary = _partition_summary(entries, part_col, by_name)
+    part_summary = _partition_summary(entries, part_info, by_name)
     new_manifest = _manifest_file_record(man_path, spec_id, seq, snap_id, entries, part_summary)
 
     ml_path = os.path.join(_metadata_dir(table_path), f"snap-{snap_id}-manifest-list.avro")
@@ -875,11 +900,17 @@ def upsert(spark, table_path: str, df, key_cols,
     sid1 = delete_rows_equality(
         spark, table_path, df.select(*key_cols), key_cols, timestamp_ms
     )
-    part = t.partition_cols[0] if t.partition_cols else None
+    # inherit the table's partitioning INCLUDING its transform: a
+    # bucket-partitioned table must keep writing bucket dirs or the
+    # spec-shape match in write_iceberg would register a new spec
+    pf = t.partition_fields[0] if t.partition_fields else None
+    info = _part_field_info(pf, t.schema_fields)
+    part = info["source_name"] if info else None
     stats = tuple(c for c in _existing_stats_cols(t) if c != part)
     sid2 = write_iceberg(
         spark, df, table_path, partition_by=part, stats_cols=stats,
         timestamp_ms=None if timestamp_ms is None else timestamp_ms + 1,
+        partition_transform=info["transform"] if info else "identity",
     )
     return sid1, sid2
 
@@ -919,6 +950,48 @@ def _unescape_path_name(s: str) -> str:
     return "".join(out)
 
 
+def _part_field_info(pf: dict | None, ice_schema: list[dict]) -> dict | None:
+    """Normalized view of one partition-spec field: name, transform,
+    bucket count (None for identity), source column name/type, and the
+    partition VALUE type ('int' for bucket, source type for identity)."""
+    if not pf:
+        return None
+    from ..functions.bucket import parse_bucket_transform
+
+    by_id = {f["id"]: f for f in ice_schema}
+    src = by_id[pf["source-id"]]
+    n = parse_bucket_transform(pf.get("transform", "identity"))
+    return {
+        "name": pf["name"],
+        "transform": pf.get("transform", "identity"),
+        "n_buckets": n,
+        "source_name": src["name"],
+        "source_type": src["type"],
+        "result_type": "int" if n else src["type"],
+    }
+
+
+def _with_part_col(df, info: dict, out: str):
+    """df + partition-value column ``out`` computed from the source
+    column (identity: the column itself; bucket[N]: the spec murmur3
+    bucket — a linear withColumn step chain for longs, a built-in fold
+    for strings)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.bucket import with_bucket_long, with_bucket_string
+
+    if not info["n_buckets"]:
+        return df.withColumn(out, F.col(info["source_name"]))
+    if info["source_type"] in ("int", "long"):
+        return with_bucket_long(df, info["source_name"], out, info["n_buckets"])
+    if info["source_type"] == "string":
+        return with_bucket_string(df, info["source_name"], out, info["n_buckets"])
+    raise ValueError(
+        f"bucket transform unsupported on type {info['source_type']!r} "
+        "(int/long/string keys only)"
+    )
+
+
 def _coerce_partition_value(raw: str | None, ice_type: str):
     """Partition-directory-name string -> TYPED Iceberg partition value.
 
@@ -945,8 +1018,18 @@ def _coerce_partition_value(raw: str | None, ice_type: str):
     return s
 
 
-def _manifest_entries_for_dir(data_dir, ice_schema, stats_cols, part_col, snap_id, seq):
-    part_type = next((f["type"] for f in ice_schema if f["name"] == part_col), None)
+def _manifest_entries_for_dir(data_dir, ice_schema, stats_cols, part_field, snap_id, seq):
+    """``part_field``: a normalized :func:`_part_field_info` dict (or a
+    bare column-name string for identity callers, or None)."""
+    if isinstance(part_field, str):
+        part_field = {
+            "name": part_field,
+            "result_type": next(
+                f["type"] for f in ice_schema if f["name"] == part_field
+            ),
+        }
+    part_col = part_field["name"] if part_field else None
+    part_type = part_field["result_type"] if part_field else None
     entries = []
     for root, _dirs, files in sorted(os.walk(data_dir)):
         part_val = None
@@ -979,12 +1062,17 @@ def _manifest_entries_for_dir(data_dir, ice_schema, stats_cols, part_col, snap_i
     return entries
 
 
-def _partition_summary(entries, part_col, by_name):
-    if not part_col:
+def _partition_summary(entries, part_field, by_name):
+    """``part_field``: _part_field_info dict, bare identity column name,
+    or None."""
+    if not part_field:
         return None
+    if isinstance(part_field, str):
+        part_field = {"name": part_field, "result_type": by_name[part_field]["type"]}
+    part_col = part_field["name"]
     vals = [e["data_file"]["partition"][part_col] for e in entries]
     non_null = [x for x in vals if x is not None]
-    pt = by_name[part_col]["type"]
+    pt = part_field["result_type"]
     return [{
         "contains_null": any(x is None for x in vals),
         "contains_nan": False,
@@ -1054,12 +1142,15 @@ class IcebergTable:
         self._types_by_name = {f["name"]: f["type"] for f in self.schema_fields}
         self._ids_by_name = {f["name"]: f["id"] for f in self.schema_fields}
         # spec evolution: each manifest carries its partition_spec_id and
-        # is pruned against ITS spec's columns, not the current default
+        # is pruned against ITS spec's fields, not the current default.
+        # Full field dicts (name/transform/source-id) — bucket pruning
+        # needs the transform; partition_cols keeps the name view.
         self.specs = {
-            sp["spec-id"]: [pf["name"] for pf in sp["fields"]]
+            sp["spec-id"]: list(sp["fields"])
             for sp in self.meta["partition-specs"]
         }
-        self.partition_cols = self.specs.get(self.meta.get("default-spec-id", 0), [])
+        self.partition_fields = self.specs.get(self.meta.get("default-spec-id", 0), [])
+        self.partition_cols = [pf["name"] for pf in self.partition_fields]
 
     # -- snapshots ---------------------------------------------------------
     def snapshots(self) -> list[dict]:
@@ -1090,17 +1181,28 @@ class IcebergTable:
     def _prune_manifest(self, mf: dict, filters) -> bool:
         """True -> skip this manifest entirely (partition summary proof,
         against the manifest's OWN partition spec)."""
-        spec_cols = self.specs.get(mf.get("partition_spec_id", 0), [])
-        if not filters or not mf.get("partitions") or not spec_cols:
+        spec_fields = self.specs.get(mf.get("partition_spec_id", 0), [])
+        if not filters or not mf.get("partitions") or not spec_fields:
             return False
         for (col, op, value) in filters:
-            for pcol, summ in zip(spec_cols, mf["partitions"]):
-                if col != pcol:
-                    continue
-                pt = self._types_by_name[pcol]
+            for pf, summ in zip(spec_fields, mf["partitions"]):
+                info = _part_field_info(pf, self.schema_fields)
+                if info["n_buckets"]:
+                    # bucket field: only a key EQUALITY maps through the
+                    # transform (bucket order says nothing about ranges)
+                    if col != info["source_name"] or op != "=":
+                        continue
+                    from ..functions.bucket import iceberg_bucket_py
+
+                    probe, pt = iceberg_bucket_py(value, info["n_buckets"]), "int"
+                else:
+                    if col != info["name"]:
+                        continue
+                    probe, pt = value, self._types_by_name[info["name"]]
                 lo = decode_bound(summ["lower_bound"], pt) if summ.get("lower_bound") else None
                 hi = decode_bound(summ["upper_bound"], pt) if summ.get("upper_bound") else None
-                if _bound_excludes(op, value, lo, hi) and not summ.get("contains_null"):
+                if _bound_excludes("=" if info["n_buckets"] else op, probe, lo, hi) \
+                        and not summ.get("contains_null"):
                     return True
         return False
 
@@ -1127,7 +1229,10 @@ class IcebergTable:
                     continue
                 df_ = e["data_file"]
                 report["files_total"] += 1
-                if self._prune_file(df_, filters):
+                if self._prune_file(
+                    df_, filters,
+                    self.specs.get(mf.get("partition_spec_id", 0), []),
+                ):
                     report["files_pruned"] += 1
                     continue
                 tasks.append(FileTask(
@@ -1172,16 +1277,34 @@ class IcebergTable:
             if d["content"] == 1
         ]
 
-    def _prune_file(self, data_file: dict, filters) -> bool:
+    def _prune_file(self, data_file: dict, filters, spec_fields=None) -> bool:
         if not filters:
             return False
+        part = data_file.get("partition", {})
+        bucket_by_src = {}
+        for pf in spec_fields or []:
+            info = _part_field_info(pf, self.schema_fields)
+            if info["n_buckets"] and info["name"] in part:
+                bucket_by_src[info["source_name"]] = (
+                    info["name"], info["n_buckets"]
+                )
         for (col, op, value) in filters:
             # identity partition value: exact prune. A null partition can
             # never satisfy a comparison predicate (SQL three-valued
             # logic), so null-partition files are prunable too.
-            if col in data_file.get("partition", {}):
-                pv = data_file["partition"][col]
+            if col in part:
+                pv = part[col]
                 if pv is None or _bound_excludes(op, value, pv, pv):
+                    return True
+            # bucket partition value: a key equality can only live in the
+            # literal's own bucket — the manifest-only 1/N point-lookup
+            # prune that makes a keyed 100 TB table cheap to probe
+            if op == "=" and col in bucket_by_src:
+                pname, n = bucket_by_src[col]
+                from ..functions.bucket import iceberg_bucket_py
+
+                pv = part[pname]
+                if pv is None or pv != iceberg_bucket_py(value, n):
                     return True
             # column bounds from file stats
             fid = self._ids_by_name.get(col)

@@ -648,7 +648,9 @@ def test_iceberg_partition_spec_evolution(spark, tmp_path):
     t = IcebergTable(path)
     meta = t.meta
     # two distinct specs registered; the lang spec REUSED for snapshot 3
-    assert sorted(t.specs.items()) == [(0, ["lang"]), (1, [])]
+    assert sorted(
+        (sid, [pf["name"] for pf in pfs]) for sid, pfs in t.specs.items()
+    ) == [(0, ["lang"]), (1, [])]
     assert meta["default-spec-id"] == 0
     snap3 = t._resolve_snapshot()
     _s, manifests = read_container_file(snap3["manifest-list"])
