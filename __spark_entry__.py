@@ -540,6 +540,70 @@ def _q_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
 
 
+def _q_lang_all(spark, sf_dir):
+    """Language-ID family under one tagged oracle (r6 consolidation —
+    freed a driver slot for ``sample_split``): part='pred' pins every
+    per-document prediction (a=doc_id, b=pred_lang), part='confusion'
+    pins the (true, predicted) eval matrix (a=true_lang, b=pred_lang,
+    n=count)."""
+    pred = _q_lang_id(spark, sf_dir).select(
+        F.lit("pred").alias("part"),
+        F.col("doc_id").cast("string").alias("a"),
+        F.col("pred_lang").alias("b"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    conf = _q_lang_confusion(spark, sf_dir).select(
+        F.lit("confusion").alias("part"),
+        F.col("true_lang").alias("a"),
+        F.col("pred_lang").alias("b"),
+        F.col("n"),
+    )
+    return pred.unionByName(conf)
+
+
+def _q_sample_split(spark, sf_dir):
+    """Deterministic sampling/splitting family (operators/sample) under
+    one tagged oracle: part='bernoulli' = 20% hash sample of documents,
+    part='stratified' = per-language keep-fractions (50% en, 10% rest),
+    part='split' = the 80/10/10 train/val/test assignment — each part
+    reports per-group doc counts AND n_chars sums, so the gate pins the
+    exact sampled MEMBERSHIP, not just its size. All three are pure
+    map-side column predicates over the engine-replayable md5 hash:
+    no shuffle, rerun- and partitioning-stable — the reproducible
+    subset contract a 100 TB training pipeline needs (df.sample/rand()
+    reshuffle membership with the partitioning)."""
+    from robosat_spark.operators.sample import (
+        hash_sample,
+        split_assign,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bern = (
+        hash_sample(docs, "doc_id", 0.2, salt="qa")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(F.lit("bernoulli").alias("part"),
+                F.col("lang").alias("grp"), "n_docs", "total_chars")
+    )
+    strat = (
+        stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default=0.1,
+                          salt="strat")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(F.lit("stratified").alias("part"),
+                F.col("lang").alias("grp"), "n_docs", "total_chars")
+    )
+    split = (
+        split_assign(docs, "doc_id", salt="cv")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(F.lit("split").alias("part"),
+                F.col("split").alias("grp"), "n_docs", "total_chars")
+    )
+    return bern.unionByName(strat).unionByName(split)
+
+
 def _q_lang_confusion(spark, sf_dir):
     """Language-ID eval against the ground-truth lang column: the
     (true, predicted) confusion counts — the quality-eval query every
@@ -2078,8 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morton_bbox": _q_morton_bbox,
         "tile_pyramid_rollup": _q_tile_pyramid_rollup,
         "dedup_exact": _q_dedup_exact,
-        "lang_id": _q_lang_id,
-        "lang_confusion": _q_lang_confusion,
+        "lang_id": _q_lang_all,
+        "sample_split": _q_sample_split,
         "knn_label_accuracy": _q_knn_label_accuracy,
         "ann_cosine": _q_ann_all,
         "cover": _q_cover,
@@ -2125,6 +2189,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hll_distinct": _q_hll_single,
             "hll_merged": _q_hll_merged,
             "iceberg_bucket": _q_iceberg_bucket,
+            "lang_id": _q_lang_id,
+            "lang_confusion": _q_lang_confusion,
         }
     )
     return qs
@@ -2512,17 +2578,42 @@ def oracle_sql() -> dict[str, str]:
     for lg in langs:
         pick += f"WHEN s_{lg} = {best} THEN '{lg}' "
     pick += "END"
+    # r6 consolidation: per-doc predictions ∪ confusion matrix, one gate
     sql["lang_id"] = f"""
-        SELECT doc_id, CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END AS pred_lang
+        SELECT 'pred' AS part, CAST(doc_id AS VARCHAR) AS a,
+               CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END AS b,
+               CAST(1 AS BIGINT) AS n
         FROM (SELECT doc_id, text, {score_cols} FROM documents)
+        UNION ALL
+        SELECT 'confusion' AS part, a, b, COUNT(*) AS n
+        FROM (SELECT lang AS a,
+                     CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END AS b
+              FROM (SELECT lang, text, {score_cols} FROM documents))
+        GROUP BY a, b
     """
 
-    sql["lang_confusion"] = f"""
-        SELECT true_lang, pred_lang, COUNT(*) AS n
-        FROM (SELECT lang AS true_lang,
-                     CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END AS pred_lang
-              FROM (SELECT lang, text, {score_cols} FROM documents))
-        GROUP BY true_lang, pred_lang
+    from robosat_spark.operators.sample import (
+        hash_sample_sql,
+        split_assign_sql,
+        stratified_sample_sql,
+    )
+
+    _bern_w = hash_sample_sql("doc_id", 0.2, salt="qa")
+    _strat_w = stratified_sample_sql("doc_id", "lang", {"en": 0.5},
+                                     default=0.1, salt="strat")
+    _split_c = split_assign_sql("doc_id", salt="cv")
+    sql["sample_split"] = f"""
+        SELECT 'bernoulli' AS part, lang AS grp, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents WHERE {_bern_w} GROUP BY lang
+        UNION ALL
+        SELECT 'stratified' AS part, lang AS grp, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents WHERE {_strat_w} GROUP BY lang
+        UNION ALL
+        SELECT 'split' AS part, {_split_c} AS grp, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 2
     """
 
     sql["knn_label_accuracy"] = f"""

@@ -119,6 +119,7 @@ BENCH_QUERY_NAMES = [
     "hll_distinct",  # HyperLogLog register sketch (round 4)
     "hll_merged",    # Iceberg-persisted slice registers, MAX-merged (round 6)
     "iceberg_bucket",  # bucket[8] point lookups + spec murmur3 bucket values (round 6)
+    "sample_split",  # deterministic hash sample / stratified / train-val-test (round 6)
     "cms_tokens",  # Count-Min token-frequency sketch (round 5)
     "url_curation",  # domain extraction/blocklist/redaction gate (round 5)
     "contamination",  # benchmark n-gram decontamination scan (round 4)
