@@ -16,7 +16,9 @@ GeoJSON for features), call the operator, write parquet/GeoJSON.
     python -m robosat_spark weights   --masks M [--classes 2] [--out O]
     python -m robosat_spark download  --tiles T.csv --url TPL --out DIR
     python -m robosat_spark serve     --grids G [--port 5000]
-    python -m robosat_spark table     {snapshots,compact,delete,expire,upsert} --path T
+    python -m robosat_spark table     {write,snapshots,compact,delete,expire,upsert}
+                                      --path T [--data P] [--partition-by C]
+                                      [--transform bucket[N]] [--stats C,...]
     python -m robosat_spark curate    --pages P --out O [--blocklist F]
                                       [--min-quality Q] [--redact]
     python -m robosat_spark sketch    {hll,cms} --path P --col C [--out O]
@@ -231,9 +233,40 @@ def cmd_table(spark, args):
         delete_rows,
         expire_snapshots,
         upsert,
+        write_iceberg,
     )
 
-    if args.action == "snapshots":
+    if args.action == "write":
+        if not args.data:
+            raise SystemExit("table write requires --data <parquet>")
+        df = spark.read.parquet(args.data)
+        if args.partition_by and args.partition_by not in df.columns:
+            raise SystemExit(
+                f"--partition-by column {args.partition_by!r} not in --data"
+            )
+        if args.transform != "identity":
+            from .functions.bucket import parse_bucket_transform
+
+            if parse_bucket_transform(args.transform) is None:
+                raise SystemExit(
+                    f"--transform must be identity or bucket[N], got {args.transform!r}"
+                )
+            if not args.partition_by:
+                raise SystemExit("--transform requires --partition-by")
+        stats = tuple(c.strip() for c in (args.stats or "").split(",") if c.strip())
+        missing = [c for c in stats if c not in df.columns]
+        if missing:
+            raise SystemExit(f"--stats columns not in --data: {missing}")
+        sid = write_iceberg(
+            spark, df, args.path, partition_by=args.partition_by,
+            stats_cols=stats, partition_transform=args.transform,
+        )
+        part = (
+            f" partitioned by {args.transform}({args.partition_by})"
+            if args.partition_by else ""
+        )
+        print(f"wrote snapshot {sid}{part} -> {args.path}")
+    elif args.action == "snapshots":
         t = IcebergTable(args.path)
         for s in t.snapshots():
             print(
@@ -442,15 +475,21 @@ def build_parser():
     sv.set_defaults(func=cmd_serve)
 
     tb = sub.add_parser("table"); tb.add_argument("action",
-        choices=["snapshots", "compact", "delete", "expire", "upsert"])
+        choices=["write", "snapshots", "compact", "delete", "expire", "upsert"])
     tb.add_argument("--path", required=True)
     tb.add_argument("--target-files", type=int, default=1)
     tb.add_argument("--sort-by", default=None)
     tb.add_argument("--where", default=None,
                     help="delete predicate as col:op:value (op in = < <= > >=)")
     tb.add_argument("--keep-last", type=int, default=1)
-    tb.add_argument("--data", default=None, help="upsert: parquet of new row versions")
+    tb.add_argument("--data", default=None,
+                    help="write: source parquet; upsert: parquet of new row versions")
     tb.add_argument("--keys", default=None, help="upsert: comma-separated key columns")
+    tb.add_argument("--partition-by", default=None, help="write: partition column")
+    tb.add_argument("--transform", default="identity",
+                    help="write: partition transform (identity or bucket[N])")
+    tb.add_argument("--stats", default=None,
+                    help="write: comma-separated columns to carry file bounds")
     tb.set_defaults(func=cmd_table)
 
     cu = sub.add_parser("curate"); cu.add_argument("--pages", required=True)

@@ -202,6 +202,59 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     assert IcebergTable(path).scan(spark).count() == 900  # nothing committed
 
 
+def test_cli_table_write(spark, tmp_path, capsys):
+    """`table write`: parquet -> Iceberg table creation from the CLI,
+    identity and bucket[N] partition layouts, arg validation."""
+    import pytest
+
+    from robosat_spark.__main__ import main
+    from robosat_spark.sources.iceberg import IcebergTable
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i % 7, (i * 7919) % 1000, i) for i in range(1000)],
+        "k LONG, morton LONG, id LONG",
+    ).repartitionByRange(4, "morton").write.parquet(src)
+
+    # plain write with file stats
+    path = str(tmp_path / "tbl")
+    main(["table", "write", "--path", path, "--data", src,
+          "--stats", "morton"], spark=spark)
+    out = capsys.readouterr().out
+    assert "wrote snapshot 1" in out
+    t = IcebergTable(path)
+    assert t.scan(spark).count() == 1000
+    _tasks, rep = t.plan_files(filters=[("morton", "<", 100)])
+    assert rep["files_pruned"] >= 2, rep  # --stats carried min/max bounds
+
+    # bucket[N] partitioned write: point lookup prunes to ~1/N of files
+    bpath = str(tmp_path / "tbl_bucket")
+    main(["table", "write", "--path", bpath, "--data", src,
+          "--partition-by", "k", "--transform", "bucket[4]"], spark=spark)
+    assert "bucket[4](k)" in capsys.readouterr().out
+    bt = IcebergTable(bpath)
+    assert bt.scan(spark).count() == 1000
+    _tasks, rep = bt.plan_files(filters=[("k", "=", 3)])
+    assert rep["files_pruned"] >= 1, rep
+
+    # arg validation: all usage errors, none commit anything
+    with pytest.raises(SystemExit, match="requires --data"):
+        main(["table", "write", "--path", path], spark=spark)
+    with pytest.raises(SystemExit, match="not in --data"):
+        main(["table", "write", "--path", path, "--data", src,
+              "--partition-by", "nope"], spark=spark)
+    with pytest.raises(SystemExit, match="identity or bucket"):
+        main(["table", "write", "--path", path, "--data", src,
+              "--partition-by", "k", "--transform", "hash[4]"], spark=spark)
+    with pytest.raises(SystemExit, match="requires --partition-by"):
+        main(["table", "write", "--path", path, "--data", src,
+              "--transform", "bucket[4]"], spark=spark)
+    with pytest.raises(SystemExit, match="--stats columns not in --data"):
+        main(["table", "write", "--path", path, "--data", src,
+              "--stats", "morton,nope"], spark=spark)
+    assert len(IcebergTable(path).snapshots()) == 1  # nothing extra committed
+
+
 def test_cli_curate_and_sketch(spark, tmp_path, capsys):
     """`curate` (blocklist + quality floor + redaction) and `sketch`
     (HLL/CMS register artifacts) drive the corpus-curation ops e2e."""
