@@ -1899,17 +1899,23 @@ def _q_iceberg_scan_all(spark, sf_dir):
     (partition pruning), the executor-side distributed manifest fan-out,
     three point lookups through a bucket[8]-partitioned table (manifest
     pruning proves ``doc_id = ?`` lives only in partition
-    ``bucket(?)``), and the spec murmur3 bucket values themselves
+    ``bucket(?)``), the spec murmur3 bucket values themselves
     computed over every row (functions/bucket — the DuckDB twin replays
     the identical 32-bit arithmetic, pinning both engines to the
-    published Iceberg spec vectors). One oracle x all tags."""
+    published Iceberg spec vectors), and the shuffle-free bucket-map
+    join of two co-located bucket[8] tables (sources/iceberg.bucket_join).
+    One oracle x all tags."""
     a = _q_iceberg_scan(spark, sf_dir).select(
         F.lit("driver").alias("planner"), "source", "n_docs", "total_chars"
     )
     b = _q_iceberg_scan_distributed(spark, sf_dir).select(
         F.lit("executors").alias("planner"), "source", "n_docs", "total_chars"
     )
-    return a.unionByName(b).unionByName(_q_iceberg_bucket(spark, sf_dir))
+    return (
+        a.unionByName(b)
+        .unionByName(_q_iceberg_bucket(spark, sf_dir))
+        .unionByName(_q_iceberg_bucket_join(spark, sf_dir))
+    )
 
 
 _BUCKET_LOOKUP_IDS = (37, 205, 498)  # present at every SF (doc_id 0..499+)
@@ -1929,6 +1935,49 @@ def _iceberg_bucket_docs_path(spark, sf_dir: str) -> str:
         )
 
     return _iceberg_documents_fixture(spark, sf_dir, "bucket8", 1, build)
+
+
+def _iceberg_bucket_dim_path(spark, sf_dir: str) -> str:
+    """Build-once companion table bucketed with the SAME bucket[8] layout
+    on doc_id: every 3rd document with a derived ``boost`` column — the
+    co-located dimension side of the bucket-map join."""
+    from robosat_spark.sources.iceberg import write_iceberg
+
+    def build(docs, path):
+        dim = docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", (F.col("doc_id") % 97).alias("boost")
+        )
+        write_iceberg(
+            spark, dim, path, partition_by="doc_id",
+            partition_transform="bucket[8]", stats_cols=("doc_id",),
+            timestamp_ms=1000,
+        )
+
+    return _iceberg_documents_fixture(spark, sf_dir, "bucket8dim", 1, build)
+
+
+def _q_iceberg_bucket_join(spark, sf_dir):
+    """bucket_join part of the iceberg_scan gate: the storage-co-located
+    bucket-map join of the bucket[8] documents table against its bucket[8]
+    companion (every 3rd doc_id + a boost column) — N per-bucket
+    broadcast joins, zero shuffle of either side (plan-asserted in
+    test_bucket). Summing n_chars + boost pins right-side column
+    transport through the join, not just its cardinality."""
+    from robosat_spark.sources.iceberg import bucket_join
+
+    j = bucket_join(
+        spark,
+        _iceberg_bucket_docs_path(spark, sf_dir),
+        _iceberg_bucket_dim_path(spark, sf_dir),
+        "doc_id",
+    )
+    return (
+        j.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("n_chars") + F.col("boost")).alias("total_chars"))
+        .select(F.lit("bucketjoin").alias("planner"), "source",
+                "n_docs", "total_chars")
+    )
 
 
 def _q_iceberg_bucket(spark, sf_dir):
@@ -2871,6 +2920,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'bucketvals' AS planner, CAST(b AS VARCHAR) AS source,
                COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM ({_bktq}) GROUP BY b
+        UNION ALL
+        SELECT 'bucketjoin' AS planner, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars + doc_id % 97) AS BIGINT) AS total_chars
+        FROM documents WHERE doc_id % 3 = 0 GROUP BY source
     """
     sql["iceberg_time_travel"] = """
         SELECT 'snapshot1' AS mode, lang, COUNT(*) AS n_docs, MAX(doc_id) AS edge_doc_id

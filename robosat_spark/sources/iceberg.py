@@ -1392,6 +1392,26 @@ class IcebergTable:
             return spark.createDataFrame([], ddl)
         df = spark.read.schema(ddl).parquet(*[t.path for t in tasks])
         del_entries = self.plan_delete_entries(snapshot_id, as_of_ms)
+        df = self._apply_deletes(
+            spark, df, tasks, del_entries, eq_delete_broadcast_max_rows
+        )
+        for (col, op, value) in filters or []:
+            c = F.col(col)
+            df = df.filter(
+                {"=": c == value, "<": c < value, "<=": c <= value,
+                 ">": c > value, ">=": c >= value}[op]
+            )
+        return df
+
+    def _apply_deletes(self, spark, df, tasks, del_entries,
+                       eq_delete_broadcast_max_rows: int = 4 << 20):
+        """Apply the snapshot's v2 delete files to a DataFrame scanning
+        exactly ``tasks`` (see :meth:`scan` for the strategy notes).
+        Delete sets referencing files outside ``tasks`` simply match no
+        rows — callers may scan any task subset (bucket_join scans one
+        bucket at a time)."""
+        from pyspark.sql import functions as F
+
         pos_paths = [d["path"] for d in del_entries if d["content"] == 1]
         eq_dels = [d for d in del_entries if d["content"] == 2]
         if pos_paths or eq_dels:
@@ -1445,13 +1465,114 @@ class IcebergTable:
             df = df.drop("__seq")
         if pos_paths or eq_dels:
             df = df.drop("__fp")
-        for (col, op, value) in filters or []:
-            c = F.col(col)
-            df = df.filter(
-                {"=": c == value, "<": c < value, "<=": c <= value,
-                 ">": c > value, ">=": c >= value}[op]
-            )
         return df
+
+    def bucket_spec(self) -> tuple[str, str, int] | None:
+        """(partition field name, source column name, N) when the table's
+        default spec is a single bucket[N] field, else None."""
+        if len(self.partition_fields) != 1:
+            return None
+        info = _part_field_info(self.partition_fields[0], self.schema_fields)
+        if not info["n_buckets"]:
+            return None
+        return info["name"], info["source_name"], info["n_buckets"]
+
+
+def bucket_join(
+    spark,
+    left,
+    right,
+    key: str,
+    broadcast_max_rows: int = 4 << 20,
+    left_snapshot_id: int | None = None,
+    right_snapshot_id: int | None = None,
+):
+    """Storage-co-located INNER join of two Iceberg tables bucketed with
+    the SAME ``bucket[N]`` transform on the join key — the bucket-map
+    join a keyed 100 TB layout exists to enable.
+
+    Because the spec murmur3 bucket is a pure function of the key, rows
+    that can ever match live in the SAME bucket on both sides. The plan
+    is therefore N independent per-bucket joins (each scanning 1/N of
+    each table's files, straight from manifest metadata) unioned — no
+    repartitioning of either side anywhere. When a bucket's smaller side
+    fits ``broadcast_max_rows`` (manifest record counts, no data read)
+    that bucket joins as a broadcast-hash join, so a 100 TB fact table
+    joins a 1 TB dimension with ZERO shuffle even though the dimension
+    as a whole could never be broadcast — only its 1/N bucket slices
+    are. Oversized bucket pairs degrade to an ordinary shuffled join of
+    1/N of the data each (still N-way narrower than a whole-table SMJ).
+
+    v2 delete files on either side are applied per bucket through the
+    same merge-on-read path as :meth:`IcebergTable.scan`. Rows with a
+    NULL key never match an inner equi-join and their null-partition
+    files are skipped outright. Non-inner joins are not offered: their
+    null/missing-bucket semantics would silently differ from a plain
+    join, which is exactly what this function promises not to do.
+
+    Engine extra (no reference analog — the reference has no table
+    format); layout parity with Iceberg spec "bucket" transform +
+    Hive/Iceberg storage-partitioned join semantics."""
+    from pyspark.sql import functions as F
+
+    lt = left if isinstance(left, IcebergTable) else IcebergTable(left)
+    rt = right if isinstance(right, IcebergTable) else IcebergTable(right)
+    sides = []
+    for name, t, snap in (("left", lt, left_snapshot_id), ("right", rt, right_snapshot_id)):
+        spec = t.bucket_spec()
+        if spec is None:
+            raise ValueError(
+                f"{name} table {t.path} is not bucket-partitioned "
+                "(bucket_join needs a single bucket[N] partition field)"
+            )
+        pname, src, n = spec
+        if src != key:
+            raise ValueError(
+                f"{name} table {t.path} is bucketed on {src!r}, not the "
+                f"join key {key!r}"
+            )
+        tasks, _ = t.plan_files(snapshot_id=snap)
+        dels = t.plan_delete_entries(snapshot_id=snap)
+        ddl = spark_schema_ddl(t._schema_for_snapshot(t._resolve_snapshot(snap)))
+        by_bucket: dict[int, list[FileTask]] = {}
+        for task in tasks:
+            b = task.partition.get(pname)
+            if b is not None:  # null-key files can never inner-match
+                by_bucket.setdefault(b, []).append(task)
+        sides.append({"n": n, "by_bucket": by_bucket, "dels": dels,
+                      "ddl": ddl, "table": t})
+    ls, rs = sides
+    if ls["n"] != rs["n"]:
+        raise ValueError(
+            f"bucket count mismatch: left bucket[{ls['n']}] vs "
+            f"right bucket[{rs['n']}] — co-location requires equal N"
+        )
+
+    def read_bucket(side, b):
+        tasks = side["by_bucket"][b]
+        df = spark.read.schema(side["ddl"]).parquet(*[t.path for t in tasks])
+        if side["dels"]:
+            df = side["table"]._apply_deletes(spark, df, tasks, side["dels"])
+        return df, sum(t.record_count for t in tasks)
+
+    pieces = []
+    for b in sorted(set(ls["by_bucket"]) & set(rs["by_bucket"])):
+        df_l, rc_l = read_bucket(ls, b)
+        df_r, rc_r = read_bucket(rs, b)
+        if min(rc_l, rc_r) <= broadcast_max_rows:
+            if rc_r <= rc_l:
+                df_r = F.broadcast(df_r)
+            else:
+                df_l = F.broadcast(df_l)
+        pieces.append(df_l.join(df_r, on=key, how="inner"))
+    if not pieces:
+        return spark.createDataFrame([], ls["ddl"]).join(
+            spark.createDataFrame([], rs["ddl"]), on=key, how="inner"
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def scan_manifests_distributed(spark, manifest_paths: list[str]):

@@ -191,3 +191,92 @@ def test_bucket_string_key_table(spark, tmp_path):
     assert tasks and all(task.partition["domain_bucket"] == want for task in tasks)
     rows = t.scan(spark, filters=[("domain", "=", "dom7.example")]).collect()
     assert [r["n"] for r in rows] == [7]
+
+
+# -- bucket-wise co-located join ------------------------------------------
+
+
+@pytest.fixture()
+def dim_table(spark, tmp_path):
+    """Companion bucket[8] table on the same key: every 3rd doc_id."""
+    path = str(tmp_path / "dim")
+    df = spark.range(0, 200, 3).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).alias("label"),
+    )
+    write_iceberg(spark, df, path, partition_by="doc_id",
+                  partition_transform="bucket[8]",
+                  stats_cols=("doc_id",), timestamp_ms=1000)
+    return path
+
+
+def test_bucket_join_matches_plain_join(spark, bucket_table, dim_table):
+    from robosat_spark.sources.iceberg import bucket_join
+
+    got = bucket_join(spark, bucket_table, dim_table, "doc_id")
+    want = (
+        IcebergTable(bucket_table).scan(spark)
+        .join(IcebergTable(dim_table).scan(spark), "doc_id")
+    )
+    cols = ["doc_id", "url", "score", "label"]
+    assert sorted(got.columns) == sorted(want.columns)
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(map(tuple, want.select(*cols).collect()))
+    assert a == b and len(a) == 67  # ceil(200/3)
+
+
+def test_bucket_join_plan_is_shuffle_free(spark, bucket_table, dim_table):
+    """The whole point: N broadcast-hash bucket joins under a union —
+    no hash repartitioning of either side anywhere in the plan."""
+    from robosat_spark.sources.iceberg import bucket_join
+
+    df = bucket_join(spark, bucket_table, dim_table, "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # per-bucket joins survive
+
+
+def test_bucket_join_sees_upserts_and_deletes(spark, bucket_table, dim_table):
+    """Per-bucket scans go through the same merge-on-read delete path as
+    a full scan: an upsert (equality delete) and a row delete (position
+    delete) on the LEFT table must both be visible through the join."""
+    from robosat_spark.sources.iceberg import bucket_join, delete_rows
+
+    new = spark.createDataFrame(
+        [(42, "url-42-v2", 999)], "doc_id LONG, url STRING, score LONG"
+    )
+    upsert(spark, bucket_table, new, ["doc_id"])
+    delete_rows(spark, bucket_table, filters=[("doc_id", "=", 3)])
+    got = {r["doc_id"]: (r["url"], r["score"])
+           for r in bucket_join(spark, bucket_table, dim_table, "doc_id").collect()}
+    assert 3 not in got                      # position-deleted
+    assert got[42] == ("url-42-v2", 999)     # upsert wins, no duplicate
+    assert len(got) == 66
+
+
+def test_bucket_join_rejects_mismatched_layouts(spark, tmp_path, bucket_table):
+    from robosat_spark.sources.iceberg import bucket_join
+
+    ident = str(tmp_path / "ident")
+    write_iceberg(
+        spark,
+        spark.range(3).select(F.col("id").alias("doc_id"), F.lit(1).alias("x")),
+        ident, partition_by="doc_id", timestamp_ms=1000,
+    )
+    with pytest.raises(ValueError, match="not bucket-partitioned"):
+        bucket_join(spark, bucket_table, ident, "doc_id")
+
+    n16 = str(tmp_path / "n16")
+    write_iceberg(
+        spark,
+        spark.range(3).select(F.col("id").alias("doc_id"), F.lit(1).alias("x")),
+        n16, partition_by="doc_id", partition_transform="bucket[16]",
+        timestamp_ms=1000,
+    )
+    with pytest.raises(ValueError, match="bucket count mismatch"):
+        bucket_join(spark, bucket_table, n16, "doc_id")
+
+    with pytest.raises(ValueError, match="bucketed on 'doc_id', not"):
+        bucket_join(spark, bucket_table, n16, "url")
