@@ -310,9 +310,13 @@ def write_iceberg(
     stats_cols: tuple[str, ...] = (),
     timestamp_ms: int | None = None,
     partition_transform: str = "identity",
+    summary_extra: dict | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot (creating the table if absent).
     Returns the new snapshot id. Deterministic: snapshot id = version.
+    ``summary_extra`` entries are merged into the snapshot summary —
+    the spec's carrier for commit provenance (the streaming sink records
+    its query id + batch id there for exactly-once replay skips).
 
     ``partition_transform``: ``"identity"`` (one directory per distinct
     ``partition_by`` value) or ``"bucket[N]"`` (the spec murmur3 bucket
@@ -452,7 +456,10 @@ def write_iceberg(
         "timestamp-ms": ts,
         "manifest-list": ml_path,
         "schema-id": cur_sid,
-        "summary": {"operation": "append", "added-data-files": str(len(entries))},
+        "summary": {
+            "operation": "append", "added-data-files": str(len(entries)),
+            **{str(k): str(v) for k, v in (summary_extra or {}).items()},
+        },
     }
     new_meta = {
         "format-version": FORMAT_VERSION,

@@ -84,3 +84,64 @@ class IcebergCursor:
             prev = snap_id
             consumed += 1
         return consumed
+
+
+def last_committed_batch(table_path: str, query_id: str) -> int | None:
+    """Highest streaming batch id a snapshot of ``table_path`` records
+    for ``query_id`` (None when the table is absent or this query never
+    committed). Metadata-only — no data files are touched."""
+    from ..sources.iceberg import current_version
+
+    if current_version(table_path) < 1:
+        return None
+    best = None
+    for s in IcebergTable(table_path).snapshots():
+        summ = s.get("summary", {})
+        if summ.get("streaming-query-id") != query_id:
+            continue
+        b = int(summ["streaming-batch-id"])
+        best = b if best is None or b > best else best
+    return best
+
+
+def iceberg_batch_sink(table_path: str, query_id: str = "stream", **write_kwargs):
+    """Exactly-once ``foreachBatch`` sink into an Iceberg table:
+
+        (df.writeStream.foreachBatch(iceberg_batch_sink(path))
+           .option("checkpointLocation", ckpt)
+           .trigger(availableNow=True).start())
+
+    Structured Streaming's contract is at-least-once delivery to
+    ``foreachBatch`` — after a crash between the sink's table commit and
+    the checkpoint's batch commit, the SAME batch id replays. The sink
+    upgrades that to exactly-once the way the reference Iceberg Spark
+    sink does: every snapshot it commits records (query id, batch id) in
+    the snapshot summary, and a batch at or below the query's last
+    committed id is a replay — skipped without reading the batch. The
+    skip check is metadata-only, so a restart costs one snapshot-log
+    read, never a table scan.
+
+    ``write_kwargs`` pass through to ``write_iceberg`` (``partition_by``,
+    ``partition_transform='bucket[N]'``, ``stats_cols`` — a streamed
+    table gets the same keyed layout and file stats as a batch-written
+    one). Multiple independent streams may share a table under distinct
+    ``query_id`` values; concurrent WRITERS are not coordinated (one
+    stream per table at a time, the module's single-writer assumption).
+    Empty batches commit nothing (replaying one is naturally idempotent).
+    """
+    from ..sources.iceberg import write_iceberg
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        done = last_committed_batch(table_path, query_id)
+        if done is not None and batch_id <= done:
+            return
+        if not batch_df.take(1):
+            return
+        write_iceberg(
+            batch_df.sparkSession, batch_df, table_path,
+            summary_extra={"streaming-query-id": query_id,
+                           "streaming-batch-id": batch_id},
+            **write_kwargs,
+        )
+
+    return write_batch

@@ -304,3 +304,72 @@ def test_streaming_flagship_spatial_join_matches_batch(spark, pages_dir, tmp_pat
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_iceberg_sink_replay_is_exactly_once(spark, tmp_path):
+    """The sink's exactly-once contract in isolation: a replayed
+    foreachBatch invocation (same batch id — the crash-between-commits
+    case) must commit nothing, and out-of-order history never ships."""
+    from robosat_spark.sources.iceberg import IcebergTable
+    from robosat_spark.streaming.iceberg_ingest import (
+        iceberg_batch_sink,
+        last_committed_batch,
+    )
+
+    path = str(tmp_path / "sink_tbl")
+    sink = iceberg_batch_sink(path, query_id="q1")
+    df0 = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    df1 = spark.range(10, 25).select(F.col("id").alias("doc_id"))
+    sink(df0, 0)
+    sink(df1, 1)
+    sink(df1, 1)  # replay after a simulated crash
+    sink(df0, 0)  # stale replay far behind the watermark
+    t = IcebergTable(path)
+    assert len(t.snapshots()) == 2
+    assert last_committed_batch(path, "q1") == 1
+    assert last_committed_batch(path, "other") is None
+    got = sorted(r["doc_id"] for r in t.scan(spark).collect())
+    assert got == list(range(25))
+    # empty batches advance nothing
+    sink(spark.createDataFrame([], "doc_id LONG"), 2)
+    assert len(IcebergTable(path).snapshots()) == 2
+
+
+def test_iceberg_sink_stream_end_to_end(spark, pages_dir, tmp_path):
+    """File stream -> foreachBatch -> bucket[8] Iceberg table under an
+    availableNow drain: the streamed table equals the batch read, gets
+    the keyed layout (bucket pruning works on it), and a second drain
+    from the same checkpoint appends nothing."""
+    from robosat_spark.sources.iceberg import IcebergTable
+    from robosat_spark.streaming.iceberg_ingest import iceberg_batch_sink
+
+    path = str(tmp_path / "pages_tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            streaming_pages(spark, pages_dir, max_files_per_trigger=16)
+            .writeStream.foreachBatch(
+                iceberg_batch_sink(path, query_id="pages",
+                                   partition_by="url",
+                                   partition_transform="bucket[8]")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    t = IcebergTable(path)
+    n_snaps = len(t.snapshots())
+    want = spark.read.parquet(pages_dir)
+    assert t.scan(spark).count() == want.count()
+    assert sorted(t.scan(spark).columns) == sorted(want.columns)
+    probe = want.select("url").first()["url"]
+    _tasks, rep = t.plan_files(filters=[("url", "=", probe)])
+    assert rep["files_pruned"] > 0  # streamed table still prunes point lookups
+
+    drain()  # restart on a drained checkpoint: no new batches, no new snapshots
+    assert len(IcebergTable(path).snapshots()) == n_snaps
+    assert IcebergTable(path).scan(spark).count() == want.count()
