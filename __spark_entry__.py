@@ -1058,6 +1058,42 @@ def _q_top_tokens(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(w)).select("token", "n", "rank")
 
 
+_BM25_TERMS = ["dup", "hash", "query", "stream"]  # df spread: rare 'dup' dominates idf
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Top-10 documents by BM25 relevance for a fixed 4-term query
+    (operators/relevance — Lucene-IDF Okapi BM25 as pure column
+    expressions; the explode is filtered to the query terms before any
+    shuffle so aggregated state is <= |docs| x |terms| rows). Scores are
+    rounded inside the operator, and the top-k orders by the ROUNDED
+    score so cross-engine ranking never hinges on sub-rounding ulps."""
+    from robosat_spark.operators.relevance import bm25_scores
+
+    s = bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+    top = s.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("doc_id").cast("string").alias("token"),
+        F.col("score").alias("n"), "rank",
+    )
+
+
+def _q_top_tokens_all(spark, sf_dir):
+    """Token-relevance family in one tagged gate: part='count' is the
+    corpus-frequency top-20 (the r1 gate), part='bm25' ranks documents
+    for a fixed query via operators/relevance (token doubles as the
+    generic key column: a token for counts, a doc_id for scores)."""
+    counts = _q_top_tokens(spark, sf_dir).select(
+        F.lit("count").alias("part"), "token",
+        F.col("n").cast("double").alias("n"), "rank",
+    )
+    bm = _q_bm25_topk(spark, sf_dir).select(
+        F.lit("bm25").alias("part"), "token", "n", "rank"
+    )
+    return counts.unionByName(bm)
+
+
 def _q_doc_fingerprint_rolling(spark, sf_dir):
     """Winnowing-style rolling-hash document fingerprint (pandas-UDF
     path). VALUE-checked: the DuckDB twin replays the identical
@@ -1655,12 +1691,37 @@ def _q_iceberg_travel(spark, sf_dir):
     return tt.unionByName(inc)
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Per-doc chunking summary (operators/chunking: 64-token windows,
+    16-token overlap, map-side codegen — no shuffle until this agg):
+    window count + a 48-bit-md5 XOR over 'idx:text' of every chunk, so
+    the gate value-pins every chunk's exact boundary and content (the
+    idx prefix stops identical windows from XOR-cancelling)."""
+    from robosat_spark.operators.chunking import chunk_documents
+
+    ch = chunk_documents(_t(spark, sf_dir, "documents"))
+    fp48 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("chunk_idx").cast("string"),
+                              F.col("chunk_text"))), 1, 12,
+        ), 16, 10,
+    ).cast("long")
+    return (
+        ch.select("doc_id", "n_chunks", fp48.alias("fp48"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chunks").alias("n_chunks"),
+            F.expr("bit_xor(fp48)").alias("fp_chunks"),
+        )
+    )
+
+
 def _q_fingerprint_all(spark, sf_dir):
     """Per-doc exact-dup md5 fingerprint + winnowing rolling-hash
-    fingerprint in one gate (equi-join on doc_id)."""
+    fingerprint + chunking summary in one gate (equi-joins on doc_id)."""
     md5s = _q_fingerprint(spark, sf_dir)
     roll = _q_doc_fingerprint_rolling(spark, sf_dir).withColumnRenamed("fp", "fp_roll")
-    return md5s.join(roll, "doc_id")
+    return md5s.join(roll, "doc_id").join(_q_doc_chunks(spark, sf_dir), "doc_id")
 
 
 def _q_cell_encode_all(spark, sf_dir):
@@ -2204,7 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "knn_label_accuracy_ivf": _q_knn_label_accuracy_ivf,
         "road_widths": _q_road_widths,
-        "top_tokens": _q_top_tokens,
+        "top_tokens": _q_top_tokens_all,
         "mask_vectorize": _q_mask_vectorize,
     }
 
@@ -2240,6 +2301,10 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "iceberg_bucket": _q_iceberg_bucket,
             "lang_id": _q_lang_id,
             "lang_confusion": _q_lang_confusion,
+            "top_tokens": _q_top_tokens,
+            "bm25_rank": _q_bm25_topk,
+            "doc_chunks": _q_doc_chunks,
+            "iceberg_bucket_join": _q_iceberg_bucket_join,
         }
     )
     return qs
@@ -2740,8 +2805,11 @@ def oracle_sql() -> dict[str, str]:
     # excludes it — the class keeps Spark and DuckDB token sets identical
     wsql = r"regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')"
 
-    sql["top_tokens"] = r"""
-        SELECT token, n, rank FROM (
+    from robosat_spark.operators.relevance import bm25_sql
+
+    _bm25 = bm25_sql("documents", _BM25_TERMS)
+    sql["top_tokens"] = rf"""
+        SELECT 'count' AS part, token, CAST(n AS DOUBLE) AS n, rank FROM (
           SELECT token, n,
                  ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
           FROM (SELECT token, COUNT(*) AS n
@@ -2749,6 +2817,12 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
                 WHERE token != '' GROUP BY token))
         WHERE rank <= 20
+        UNION ALL
+        SELECT 'bm25' AS part, CAST(doc_id AS VARCHAR) AS token, score AS n, rank
+        FROM (SELECT doc_id, score,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              FROM ({_bm25}))
+        WHERE rank <= 10
     """
 
     sql["dedup_clusters"] = f"""
@@ -3031,10 +3105,21 @@ def oracle_sql() -> dict[str, str]:
                END AS BIGINT) AS fp
         FROM cps
     """
-    # consolidated gate: md5 exact-dup key + winnowing rolling hash per doc
+    # consolidated gate: md5 exact-dup key + winnowing rolling hash +
+    # chunking summary per doc (the chunk twin replays every window's
+    # boundaries and text, then the same idx-prefixed 48-bit-md5 XOR)
+    from robosat_spark.operators.chunking import chunks_sql
+
+    _chunks = chunks_sql("documents")
     sql["fingerprint"] = f"""
-        SELECT a.doc_id, a.fp, b.fp AS fp_roll
+        SELECT a.doc_id, a.fp, b.fp AS fp_roll, c.n_chunks, c.fp_chunks
         FROM ({_fp_md5}) a JOIN ({_fp_roll}) b USING (doc_id)
+        JOIN (
+          SELECT doc_id, MAX(n_chunks) AS n_chunks,
+                 bit_xor(('0x' || substr(md5(CAST(chunk_idx AS VARCHAR) || ':' || chunk_text), 1, 12))::BIGINT)
+                     AS fp_chunks
+          FROM ({_chunks}) GROUP BY doc_id
+        ) c USING (doc_id)
     """
 
     # IVF family: the CTE chain replays operators.ann.kmeans_centroids +

@@ -1,0 +1,182 @@
+"""Fixed-window chunking (operators/chunking) and BM25 relevance
+(operators/relevance): exact window boundaries, hand-computed scores,
+and DuckDB-twin parity on the real documents table."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from robosat_spark.operators.chunking import chunk_documents, chunks_sql
+from robosat_spark.operators.relevance import bm25_scores, bm25_sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_windows_exact(spark):
+    # 10 tokens, window 4, overlap 1 -> step 3 -> ceil((10-4)/3)+1 = 3 chunks
+    text = " ".join(f"t{i}" for i in range(10))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_tokens=4, overlap=1
+    ).orderBy("chunk_idx").collect()
+    assert [r.chunk_idx for r in out] == [0, 1, 2]
+    assert all(r.n_chunks == 3 for r in out)
+    assert [r.chunk_text for r in out] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    assert [r.chunk_len for r in out] == [4, 4, 4]
+
+
+def test_chunk_last_window_short_and_coverage(spark):
+    # 9 tokens, window 4, overlap 2 -> step 2 -> ceil(5/2)+1 = 4 chunks,
+    # last chunk holds the 3-token tail; consecutive chunks share overlap
+    text = " ".join(f"w{i}" for i in range(9))
+    out = chunk_documents(
+        _docs(spark, [(7, text)]), chunk_tokens=4, overlap=2
+    ).orderBy("chunk_idx").collect()
+    assert len(out) == 4 and out[-1].chunk_len == 3
+    toks = [r.chunk_text.split(" ") for r in out]
+    for a, b in zip(toks, toks[1:]):
+        assert a[-2:] == b[:2]  # overlap preserved verbatim
+    # every input token appears in order across windows (step positions)
+    assert toks[0][0] == "w0" and toks[-1][-1] == "w8"
+
+
+def test_chunk_small_empty_docs(spark):
+    out = {
+        r.doc_id: r
+        for r in chunk_documents(
+            _docs(spark, [(1, "only three tokens"), (2, "   "), (3, "x")]),
+            chunk_tokens=64,
+            overlap=16,
+        ).collect()
+    }
+    assert len(out) == 3  # one chunk each — no doc dropped
+    assert out[1].chunk_text == "only three tokens" and out[1].n_chunks == 1
+    assert out[2].chunk_text == "" and out[2].chunk_len == 0
+    assert out[3].chunk_len == 1
+
+
+def test_chunk_exact_multiple_boundary(spark):
+    # dl == chunk_tokens -> exactly 1 chunk (no empty trailing window);
+    # dl == chunk_tokens + 1 -> 2 chunks
+    for n, want in [(4, 1), (5, 2)]:
+        text = " ".join(f"t{i}" for i in range(n))
+        got = (
+            chunk_documents(_docs(spark, [(1, text)]), chunk_tokens=4, overlap=1)
+            .agg(F.max("n_chunks"))
+            .first()[0]
+        )
+        assert got == want, (n, got)
+
+
+def test_chunk_param_validation(spark):
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=-1)
+
+
+def test_chunk_duckdb_twin_parity(spark):
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(
+            spark.read.parquet(f"{SF}/documents.parquet")
+        ).select("doc_id", "chunk_idx", "n_chunks", "chunk_len", "chunk_text")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(chunks_sql("documents")).fetchall())
+    assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------------------- bm25
+
+
+def _bm25_expected(corpus, terms, k1=1.2, b=0.75):
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {
+        q: sum(1 for t in toks.values() if q in t) for q in terms
+    }
+    out = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_bm25_hand_computed(spark):
+    corpus = [
+        (1, "spark spark stream join"),
+        (2, "stream stream stream"),
+        (3, "join hash probe build side"),
+        (4, "unrelated words entirely here"),
+    ]
+    terms = ["spark", "join"]
+    got = {
+        r.doc_id: r.score
+        for r in bm25_scores(_docs(spark, corpus), terms).collect()
+    }
+    want = _bm25_expected(corpus, terms)
+    assert set(got) == set(want) == {1, 3}  # only matching docs returned
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-6)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # same tf, same dl: the rarer term's doc must score higher (IDF)
+    corpus = [
+        (1, "rare aaa bbb ccc"),
+        (2, "common aaa bbb ccc"),
+        (3, "common ddd eee fff"),
+        (4, "common ggg hhh iii"),
+    ]
+    got = {
+        r.doc_id: r.score
+        for r in bm25_scores(
+            _docs(spark, corpus), ["rare", "common"]
+        ).collect()
+    }
+    assert got[1] > got[2] > 0
+
+
+def test_bm25_validation(spark):
+    with pytest.raises(ValueError):
+        bm25_scores(_docs(spark, [(1, "a")]), [])
+
+
+def test_bm25_duckdb_twin_parity(spark):
+    terms = ["dup", "hash", "query", "stream"]
+    got = sorted(
+        (r.doc_id, r.score)
+        for r in bm25_scores(
+            spark.read.parquet(f"{SF}/documents.parquet"), terms
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(bm25_sql("documents", terms)).fetchall())
+    assert len(got) > 0 and got == want
