@@ -143,7 +143,22 @@ def _q_semi_join(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .select(F.lit("anti").alias("part"), F.col("c_mktsegment").alias("key"), "n")
     )
-    return semi.unionByName(anti)
+    # r6: users_retained (O3 intersect) folded in as a third part to free
+    # a driver slot for pagerank — the retained-user set drives one more
+    # left-semi (events of retained users), so n pins membership AND
+    # activity volume per retained user
+    retained = (
+        _t(spark, sf_dir, "events")
+        .join(_q_users_retained(spark, sf_dir), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("retained").alias("part"),
+            F.col("user_id").cast("string").alias("key"),
+            "n",
+        )
+    )
+    return semi.unionByName(anti).unionByName(retained)
 
 
 def _q_latest_event_per_user(spark, sf_dir):
@@ -770,6 +785,22 @@ def _q_dedup_clusters(spark, sf_dir):
     )
     labels = connected_components(edges.unionByName(self_loops))
     return labels.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
+
+
+def _q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/graph) over a deterministic
+    md5-derived link graph on the documents table (3 out-links per doc,
+    doc_id%7==0 pages dangling). Ranks are int64 ppb — every iteration is
+    integer arithmetic, so the result is bit-identical across engines,
+    partitionings, and cluster sizes (a floating PageRank is none of
+    those); the DuckDB twin unrolls the 8 iterations as MATERIALIZED CTEs
+    and matches exactly."""
+    from robosat_spark.operators.graph import pagerank, synthetic_web_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    return pagerank(synthetic_web_edges(docs), num_iters=8).select(
+        "node", "rank_ppb"
+    )
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -2220,6 +2251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_iou": _q_dedupe_iou,
         # new r5 gate (slot freed by folding anti_join into semi_join)
         "url_curation": _q_url_curation,
+        # new r6 gate (slot freed by folding users_retained into semi_join)
+        "pagerank": _q_pagerank,
         # r4 gates (iceberg_deletes extended r5: position ∪ upsert)
         "iceberg_deletes": _q_iceberg_deletes,
         "hll_distinct": _q_hll_distinct,
@@ -2241,7 +2274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_gaps": _q_sessionize_gaps,
         "rollup_events": _q_rollup_events,
         "value_quantiles": _q_value_quantiles,
-        "users_retained": _q_users_retained,
         "asof_click_before_purchase": _q_asof_click_before_purchase,
         "event_type_pivot": _q_event_type_pivot,
         "embedding_neardup": _q_embedding_neardup,
@@ -2305,6 +2337,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_rank": _q_bm25_topk,
             "doc_chunks": _q_doc_chunks,
             "iceberg_bucket_join": _q_iceberg_bucket_join,
+            "users_retained": _q_users_retained,
         }
     )
     return qs
@@ -2397,6 +2430,17 @@ def oracle_sql() -> dict[str, str]:
         FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'retained' AS part, CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+        FROM events
+        WHERE user_id IN (
+          SELECT user_id FROM events
+          WHERE ts < (SELECT MIN(ts) FROM events) + INTERVAL 604800 SECOND
+          INTERSECT
+          SELECT user_id FROM events
+          WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL 604800 SECOND
+        )
+        GROUP BY user_id
     """
 
     from robosat_spark.functions.text import PII_EMAIL_RE, PII_IPV4_RE
@@ -2499,13 +2543,14 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_hq})
     """
 
-    sql["users_retained"] = """
-        SELECT user_id FROM events
-        WHERE ts < (SELECT MIN(ts) FROM events) + INTERVAL 604800 SECOND
-        INTERSECT
-        SELECT user_id FROM events
-        WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL 604800 SECOND
-    """
+    # pagerank: the twin rebuilds the identical md5 link graph and
+    # unrolls the 8 fixed-point iterations (all-integer arithmetic —
+    # bit-exact cross-engine, no float summation-order hazard at all)
+    from robosat_spark.operators.graph import pagerank_sql, synthetic_web_edges_sql
+
+    sql["pagerank"] = pagerank_sql(
+        synthetic_web_edges_sql("documents"), num_iters=8
+    )
 
     sql["event_type_pivot"] = """
         SELECT user_id,
