@@ -1110,11 +1110,40 @@ def _q_bm25_topk(spark, sf_dir):
     )
 
 
+def _bm25_index_path(spark, sf_dir):
+    """Build-once bucketed posting-list index over ``documents``
+    (Iceberg bucket[8] on token, corpus stats in the snapshot summary)."""
+    from robosat_spark.operators.relevance import write_inverted_index
+
+    def build(docs, path):
+        write_inverted_index(spark, docs, path, n_buckets=8, timestamp_ms=1000)
+
+    return _iceberg_documents_fixture(spark, sf_dir, "postings", 1, build)
+
+
+def _q_bm25_topk_index(spark, sf_dir):
+    """The same top-10 BM25 ranking answered from STORAGE: the bucketed
+    Iceberg posting-list index (manifest-pruned point scan per term,
+    corpus stats from the snapshot summary — zero corpus-side work at
+    query time). Must be bit-identical to the direct-scan ranking."""
+    from robosat_spark.operators.relevance import bm25_from_index
+
+    s = bm25_from_index(spark, _bm25_index_path(spark, sf_dir), _BM25_TERMS)
+    top = s.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("doc_id").cast("string").alias("token"),
+        F.col("score").alias("n"), "rank",
+    )
+
+
 def _q_top_tokens_all(spark, sf_dir):
     """Token-relevance family in one tagged gate: part='count' is the
     corpus-frequency top-20 (the r1 gate), part='bm25' ranks documents
     for a fixed query via operators/relevance (token doubles as the
-    generic key column: a token for counts, a doc_id for scores)."""
+    generic key column: a token for counts, a doc_id for scores), and
+    part='bm25i' answers the SAME query from the bucketed Iceberg
+    posting-list index — the oracle proves storage-path == scan-path."""
     counts = _q_top_tokens(spark, sf_dir).select(
         F.lit("count").alias("part"), "token",
         F.col("n").cast("double").alias("n"), "rank",
@@ -1122,7 +1151,10 @@ def _q_top_tokens_all(spark, sf_dir):
     bm = _q_bm25_topk(spark, sf_dir).select(
         F.lit("bm25").alias("part"), "token", "n", "rank"
     )
-    return counts.unionByName(bm)
+    bmi = _q_bm25_topk_index(spark, sf_dir).select(
+        F.lit("bm25i").alias("part"), "token", "n", "rank"
+    )
+    return counts.unionByName(bm).unionByName(bmi)
 
 
 def _q_doc_fingerprint_rolling(spark, sf_dir):
@@ -2335,6 +2367,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang_confusion": _q_lang_confusion,
             "top_tokens": _q_top_tokens,
             "bm25_rank": _q_bm25_topk,
+            "bm25_index": _q_bm25_topk_index,
             "doc_chunks": _q_doc_chunks,
             "iceberg_bucket_join": _q_iceberg_bucket_join,
             "users_retained": _q_users_retained,
@@ -2864,6 +2897,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= 20
         UNION ALL
         SELECT 'bm25' AS part, CAST(doc_id AS VARCHAR) AS token, score AS n, rank
+        FROM (SELECT doc_id, score,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              FROM ({_bm25}))
+        WHERE rank <= 10
+        UNION ALL
+        -- bm25i: the Spark side answers from the bucketed Iceberg posting
+        -- index; the twin is the SAME direct ranking — the gate therefore
+        -- pins storage-path == scan-path == DuckDB
+        SELECT 'bm25i' AS part, CAST(doc_id AS VARCHAR) AS token, score AS n, rank
         FROM (SELECT doc_id, score,
                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
               FROM ({_bm25}))

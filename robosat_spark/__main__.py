@@ -407,6 +407,37 @@ def cmd_sketch(spark, args):
         print(f"cms d={args.d} w={args.w}: counter table written, max cell {top}")
 
 
+def cmd_index(spark, args):
+    """Inverted-index verbs: ``index build`` materializes a posting-list
+    Iceberg table bucketed by token (corpus stats in the snapshot
+    summary); ``index query`` runs BM25 for the given terms straight off
+    the index — pruned point scans, no corpus read."""
+    from .operators.relevance import bm25_from_index, write_inverted_index
+
+    if args.action == "build":
+        if not args.docs:
+            raise SystemExit("index build requires --docs")
+        docs = spark.read.parquet(args.docs)
+        snap = write_inverted_index(
+            spark, docs, args.table, n_buckets=args.buckets,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        print(f"index build: snapshot {snap} -> {args.table} "
+              f"(bucket[{args.buckets}] on token)")
+    else:
+        if not args.terms:
+            raise SystemExit("index query requires --terms")
+        scores = bm25_from_index(
+            spark, args.table, args.terms, id_col=args.id_col
+        )
+        from pyspark.sql import functions as F
+
+        for r in scores.orderBy(
+            F.col("score").desc(), F.col(args.id_col).asc()
+        ).limit(args.top).collect():
+            print(f"{r[args.id_col]}\t{r['score']}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="robosat_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -513,6 +544,16 @@ def build_parser():
     sk.add_argument("--inputs", nargs="+", default=None,
                     help="register tables to merge (parquet dirs or Iceberg tables)")
     sk.set_defaults(func=cmd_sketch)
+
+    ix = sub.add_parser("index"); ix.add_argument("action", choices=["build", "query"])
+    ix.add_argument("--table", required=True, help="Iceberg posting-list table path")
+    ix.add_argument("--docs", default=None, help="documents parquet (build)")
+    ix.add_argument("--terms", nargs="+", default=None, help="query terms (query)")
+    ix.add_argument("--buckets", type=int, default=8)
+    ix.add_argument("--top", type=int, default=10)
+    ix.add_argument("--text-col", default="text")
+    ix.add_argument("--id-col", default="doc_id")
+    ix.set_defaults(func=cmd_index)
     return p
 
 

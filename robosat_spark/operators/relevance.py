@@ -52,9 +52,13 @@ def bm25_scores(
     base = docs.select(
         F.col(id_col), _doc_tokens(F.col(text_col)).alias("__toks")
     ).select(id_col, F.size("__toks").alias("__dl"), F.col("__toks"))
+    # exact-integer corpus stats (COUNT + SUM of int dl, avgdl = one
+    # double division at the end): order-independent, so the direct and
+    # index-backed paths — and the DuckDB twin — agree bit-for-bit
+    # (a running double AVG is summation-order-dependent in the ulps)
     stats = base.agg(
-        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
-    )
+        F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl")
+    ).select("__n", (F.col("__sumdl") / F.col("__n")).alias("__avgdl"))
     tf = (
         base.select(id_col, "__dl", F.explode("__toks").alias("__t"))
         .filter(F.col("__t").isin(terms))
@@ -108,7 +112,8 @@ def bm25_sql(docs_rel: str, terms: list[str], k1: float = 1.2, b: float = 0.75) 
                                x -> x <> '') AS toks
             FROM {docs_rel}
         ),
-        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+        stats AS (SELECT COUNT(*) AS n,
+                         SUM(dl) / COUNT(*) AS avgdl FROM base),
         tf AS (
             SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl
             FROM (SELECT doc_id, dl, unnest(toks) AS t FROM base)
@@ -125,3 +130,115 @@ def bm25_sql(docs_rel: str, terms: list[str], k1: float = 1.2, b: float = 0.75) 
         FROM tf JOIN dfreq USING (t) CROSS JOIN stats
         GROUP BY doc_id
     """
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One explode pass -> the inverted-index posting list
+    (token, doc_id, tf, dl). Same tokenizer as :func:`bm25_scores`."""
+    base = docs.select(
+        F.col(id_col), _doc_tokens(F.col(text_col)).alias("__toks")
+    ).select(id_col, F.size("__toks").alias("__dl"), F.col("__toks"))
+    return (
+        base.select(id_col, "__dl", F.explode("__toks").alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count("*").alias("tf"), F.max("__dl").alias("dl"))
+    )
+
+
+SUMMARY_N_DOCS = "bm25-n-docs"
+SUMMARY_SUM_DL = "bm25-sum-dl"
+
+
+def write_inverted_index(
+    spark,
+    docs: DataFrame,
+    table_path: str,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    timestamp_ms: int | None = None,
+) -> int:
+    """Materialize the posting list as an Iceberg table bucketed by
+    ``token`` (bucket[N] murmur3 layout) — the scale path for REPEATED
+    relevance queries: :func:`bm25_scores` re-scans and re-explodes the
+    whole corpus per query; a query against this index reads only the
+    <= |terms| buckets its terms hash into (manifest-pruned point
+    lookups), i.e. ~|terms|/N of the index regardless of corpus size.
+
+    The exact-integer corpus stats (doc count, total token count) ride
+    in the snapshot summary — the spec's commit-metadata carrier — so a
+    query needs NO corpus scan at all. Returns the snapshot id."""
+    from ..sources.iceberg import write_iceberg
+
+    base = docs.select(
+        F.col(id_col), _doc_tokens(F.col(text_col)).alias("__toks")
+    )
+    n_docs, sum_dl = base.agg(
+        F.count("*"), F.coalesce(F.sum(F.size("__toks")), F.lit(0))
+    ).first()
+    postings = build_postings(docs, text_col, id_col)
+    return write_iceberg(
+        spark,
+        postings,
+        table_path,
+        partition_by="token",
+        partition_transform=f"bucket[{n_buckets}]",
+        stats_cols=("token",),
+        timestamp_ms=timestamp_ms,
+        summary_extra={
+            SUMMARY_N_DOCS: str(n_docs),
+            SUMMARY_SUM_DL: str(sum_dl),
+        },
+    )
+
+
+def bm25_from_index(
+    spark,
+    table_path: str,
+    terms: list[str],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scores for ``terms`` straight from the bucketed posting-list
+    table — bit-identical to :func:`bm25_scores` on the indexed corpus
+    (same integer tf/dl/df inputs, same double arithmetic, same 6dp
+    rounding), but reading only the terms' buckets: one pruned point
+    scan per term, df computed within the pruned postings (complete per
+    term by construction), (N, avgdl) from the snapshot summary as plan
+    literals — zero corpus-side work at query time."""
+    from ..sources.iceberg import IcebergTable
+
+    if not terms:
+        raise ValueError("bm25_from_index needs at least one query term")
+    terms = sorted({t.lower() for t in terms})
+    t = IcebergTable(table_path)
+    summary = t.snapshots()[-1].get("summary", {})
+    try:
+        n = int(summary[SUMMARY_N_DOCS])
+        sum_dl = int(summary[SUMMARY_SUM_DL])
+    except KeyError as ex:
+        raise ValueError(
+            f"{table_path} is not a BM25 index (missing {ex} in the "
+            "snapshot summary — build it with write_inverted_index)"
+        ) from ex
+    scans = [
+        t.scan(spark, filters=[("token", "=", term)]) for term in terms
+    ]
+    tf = scans[0]
+    for s in scans[1:]:
+        tf = tf.unionByName(s)
+    dfreq = tf.groupBy("token").agg(F.countDistinct(id_col).alias("__df"))
+    j = tf.join(F.broadcast(dfreq), "token")
+    avgdl = F.lit(sum_dl) / F.lit(n)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return j.groupBy(id_col).agg(F.round(F.sum(contrib), 6).alias("score"))

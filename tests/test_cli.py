@@ -364,3 +364,37 @@ def test_cli_serve_http_roundtrip(spark, tmp_path):
     assert status == 404
     assert "/{z}/{x}/{y}.png" in page and "leaflet" in page.lower()
     assert "L.map(" in page
+
+
+def test_cli_index_build_and_query(spark, tmp_path, capsys):
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    table = str(tmp_path / "bm25_idx")
+    main(["index", "build", "--docs", docs_path, "--table", table,
+          "--buckets", "4"], spark=spark)
+    out = capsys.readouterr().out
+    assert "snapshot 1" in out and "bucket[4]" in out
+
+    main(["index", "query", "--table", table, "--terms", "dup", "hash",
+          "--top", "5"], spark=spark)
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert 0 < len(lines) <= 5
+    # matches the direct-scan ranking
+    from robosat_spark.operators.relevance import bm25_scores
+    import pyspark.sql.functions as F
+
+    direct = bm25_scores(spark.read.parquet(docs_path), ["dup", "hash"])
+    want = [
+        f"{r['doc_id']}\t{r['score']}"
+        for r in direct.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(5).collect()
+    ]
+    assert lines == want
+
+
+def test_cli_index_arg_validation(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="requires --docs"):
+        main(["index", "build", "--table", str(tmp_path / "t")], spark=spark)
+    with pytest.raises(SystemExit, match="requires --terms"):
+        main(["index", "query", "--table", str(tmp_path / "t")], spark=spark)
