@@ -522,6 +522,44 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Crawl-delta ingest dedup (operators/dedup.dedup_incremental): the
+    delta (doc_id%5==0) deduped in-batch then anti-joined against the
+    corpus (doc_id%3!=0) THROUGH the Bloom prefilter — certain-new rows
+    (no false negatives) skip the join entirely; the oracle computes the
+    same survivors set-theoretically, so the gate proves the prefiltered
+    plan loses and invents nothing."""
+    from robosat_spark.functions.text import normalized_text
+    from robosat_spark.operators.dedup import dedup_incremental
+    from robosat_spark.operators.sketch import bloom_bits
+
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.md5(normalized_text(F.col("text"))).alias("fp")
+    )
+    surv = dedup_incremental(delta, corpus, bloom=bloom_bits(corpus, "fp"))
+    return surv.select(
+        F.col("fp").alias("key"),
+        F.col("doc_id").alias("keep_doc_id"),
+        F.lit(1).cast("long").alias("n_dupes"),
+    )
+
+
+def _q_dedup_exact_all(spark, sf_dir):
+    """Exact-dedup family, one tagged gate: part='groups' is the corpus
+    hash-groupBy (the r1 gate); part='incr' is the incremental-ingest
+    path (batch vs corpus survivors via the Bloom-prefiltered
+    anti-join)."""
+    groups = _q_dedup_exact(spark, sf_dir).select(
+        F.lit("groups").alias("part"), "key", "keep_doc_id", "n_dupes"
+    )
+    incr = _q_dedup_incremental(spark, sf_dir).select(
+        F.lit("incr").alias("part"), "key", "keep_doc_id", "n_dupes"
+    )
+    return groups.unionByName(incr)
+
+
 def _q_fingerprint(spark, sf_dir):
     """K-robust content fingerprint: md5 prefix (exact-dup key per doc)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2315,7 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_adjacency": _q_tile_adjacency,
         "morton_bbox": _q_morton_bbox,
         "tile_pyramid_rollup": _q_tile_pyramid_rollup,
-        "dedup_exact": _q_dedup_exact,
+        "dedup_exact": _q_dedup_exact_all,
         "lang_id": _q_lang_all,
         "sample_split": _q_sample_split,
         "knn_label_accuracy": _q_knn_label_accuracy,
@@ -2371,6 +2409,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_chunks": _q_doc_chunks,
             "iceberg_bucket_join": _q_iceberg_bucket_join,
             "users_retained": _q_users_retained,
+            "dedup_exact": _q_dedup_exact,
+            "dedup_incremental": _q_dedup_incremental,
         }
     )
     return qs
@@ -2748,10 +2788,26 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["dedup_exact"] = """
-        SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS key,
+        SELECT 'groups' AS part,
+               md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS key,
                MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dupes
         FROM documents
-        GROUP BY 1
+        GROUP BY 2
+        UNION ALL
+        -- incr: set-theoretic survivors of the delta-vs-corpus ingest —
+        -- the Spark side routes through the Bloom prefilter, so equality
+        -- here proves the prefiltered plan loses/invents nothing
+        SELECT 'incr' AS part, t.key, t.keep_doc_id, CAST(1 AS BIGINT) AS n_dupes
+        FROM (
+          SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS key,
+                 MIN(doc_id) AS keep_doc_id
+          FROM documents WHERE doc_id % 5 = 0
+          GROUP BY 1
+        ) t
+        WHERE t.key NOT IN (
+          SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))
+          FROM documents WHERE doc_id % 3 <> 0
+        )
     """
 
     _fp_md5 = """

@@ -452,3 +452,56 @@ def benchmark_overlap(
             ).alias("overlap"),
         )
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bloom: DataFrame | None = None,
+    bloom_k: int = 4,
+    bloom_m: int = 2048,
+    broadcast_corpus: bool = False,
+) -> DataFrame:
+    """Survivors of a crawl delta against the existing corpus — the
+    operational loop a living corpus table runs every ingest cycle:
+    new batch arrives, drop rows whose normalized text already exists
+    (in the corpus OR earlier in the batch), append what's left.
+
+    -> (id_col, fp): one row per surviving document; ``fp`` is the
+    md5-of-normalized-text exact-dup key (same key as the dedup_exact
+    gate), ``corpus_fps`` a DataFrame with an ``fp`` column (e.g. a
+    projection of the corpus table — at 100 TB, keep it as its own
+    compacted Iceberg table instead of re-deriving it per batch).
+
+    Scale shape: in-batch dedup is one hash groupBy of the BATCH (the
+    small side, by definition of an increment). The corpus check is an
+    anti-join that shuffles only batch-sized data (shuffle anti by
+    default; ``broadcast_corpus=True`` only when the fingerprint set is
+    known to fit the broadcast budget). Pass ``bloom`` (a
+    ``sketch.bloom_bits`` register table of the corpus fps, <= m rows,
+    maintained incrementally by set-UNION) to PREFILTER: Bloom has no
+    false negatives, so a miss is a certain non-duplicate and skips the
+    anti-join entirely — at a typical ~1% re-crawl dup rate the join
+    side shrinks by the filter's true-negative rate, for one broadcast
+    of <= m longs."""
+    from ..functions.text import normalized_text
+    from .sketch import bloom_might_contain
+
+    batch = (
+        new_docs.withColumn("fp", F.md5(normalized_text(F.col(text_col))))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    corpus = corpus_fps.select("fp").distinct()
+    if broadcast_corpus:
+        corpus = F.broadcast(corpus)
+
+    if bloom is not None:
+        probed = bloom_might_contain(bloom, batch, "fp", k=bloom_k, m=bloom_m)
+        certain_new = probed.filter(F.col("hit") == 0).select("fp", id_col)
+        maybe_dup = probed.filter(F.col("hit") == 1).select("fp", id_col)
+        checked = maybe_dup.join(corpus, "fp", "left_anti")
+        return certain_new.unionByName(checked).select(id_col, "fp")
+    return batch.join(corpus, "fp", "left_anti").select(id_col, "fp")

@@ -468,3 +468,67 @@ def test_vertical_tab_tokenizes_identically_spark_vs_duckdb(spark):
     assert row["n"] == o[1] == 6
     assert row["norm"] == o[2]
     assert sorted(row["sh"]) == sorted(o[3])
+
+
+# --- dedup_incremental: the crawl-delta ingest loop ---------------------
+
+
+def _incr_fixture(spark):
+    from robosat_spark.functions.text import normalized_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.md5(normalized_text(F.col("text"))).alias("fp")
+    )
+    return delta, corpus
+
+
+def _surv(df):
+    return sorted((r["doc_id"], r["fp"]) for r in df.collect())
+
+
+def test_incremental_bloom_equals_plain_anti_join(spark):
+    from robosat_spark.operators.dedup import dedup_incremental
+    from robosat_spark.operators.sketch import bloom_bits
+
+    delta, corpus = _incr_fixture(spark)
+    plain = _surv(dedup_incremental(delta, corpus))
+    bloomed = _surv(
+        dedup_incremental(delta, corpus, bloom=bloom_bits(corpus, "fp"))
+    )
+    broadcasted = _surv(dedup_incremental(delta, corpus, broadcast_corpus=True))
+    assert plain == bloomed == broadcasted
+    assert 0 < len(plain) < delta.count()  # some new, some dups
+
+
+def test_incremental_in_batch_dedup_keeps_min_id(spark):
+    from robosat_spark.operators.dedup import dedup_incremental
+
+    batch = spark.createDataFrame(
+        [(10, "same words"), (3, "same  WORDS"), (7, "other")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame([("nomatch",)], "fp string")
+    got = {r["doc_id"] for r in dedup_incremental(batch, corpus).collect()}
+    assert got == {3, 7}  # normalized dup collapses to min id
+
+
+def test_incremental_bloom_prefilter_skips_certain_new(spark):
+    """Bloom misses are certain non-duplicates: with an EMPTY corpus every
+    probe misses, and survivors must still be the whole (deduped) batch."""
+    from robosat_spark.operators.dedup import dedup_incremental
+    from robosat_spark.operators.sketch import bloom_bits
+
+    delta, _ = _incr_fixture(spark)
+    empty = delta.sparkSession.createDataFrame([], "fp string")
+    got = _surv(dedup_incremental(delta, empty, bloom=bloom_bits(empty, "fp")))
+    from robosat_spark.functions.text import normalized_text
+
+    want = sorted(
+        (r["doc_id"], r["fp"])
+        for r in delta.withColumn("fp", F.md5(normalized_text(F.col("text"))))
+        .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp").collect()
+    )
+    assert got == want
