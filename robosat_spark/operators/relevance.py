@@ -215,15 +215,23 @@ def bm25_from_index(
         raise ValueError("bm25_from_index needs at least one query term")
     terms = sorted({t.lower() for t in terms})
     t = IcebergTable(table_path)
-    summary = t.snapshots()[-1].get("summary", {})
-    try:
-        n = int(summary[SUMMARY_N_DOCS])
-        sum_dl = int(summary[SUMMARY_SUM_DL])
-    except KeyError as ex:
+    # corpus stats ride in the summary of the snapshot that indexed the
+    # corpus; maintenance commits (compaction REPLACE, delete) in between
+    # don't carry them — walk newest -> oldest to the latest stats-bearing
+    # snapshot, so a compacted index keeps answering queries
+    n = sum_dl = None
+    for snap in reversed(t.snapshots()):
+        summary = snap.get("summary", {})
+        if SUMMARY_N_DOCS in summary and SUMMARY_SUM_DL in summary:
+            n = int(summary[SUMMARY_N_DOCS])
+            sum_dl = int(summary[SUMMARY_SUM_DL])
+            break
+    if n is None:
         raise ValueError(
-            f"{table_path} is not a BM25 index (missing {ex} in the "
-            "snapshot summary — build it with write_inverted_index)"
-        ) from ex
+            f"{table_path} is not a BM25 index (no snapshot carries "
+            f"{SUMMARY_N_DOCS}/{SUMMARY_SUM_DL} — build it with "
+            "write_inverted_index)"
+        )
     scans = [
         t.scan(spark, filters=[("token", "=", term)]) for term in terms
     ]

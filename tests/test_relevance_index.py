@@ -103,3 +103,20 @@ def test_unknown_term_scores_nothing_known_terms_unaffected(spark, index_path):
     got = _rows(bm25_from_index(spark, index_path, ["dup", "zzzznosuchtoken"]))
     want = _rows(bm25_scores(docs, ["dup", "zzzznosuchtoken"]))
     assert got == want
+
+
+def test_compaction_preserves_index_queries_and_pruning(spark, index_path):
+    """Compaction (REPLACE snapshot) must not break the index: the corpus
+    stats live on an earlier snapshot, results stay bit-identical, and
+    bucket point-lookup pruning still works on the rewritten files."""
+    from robosat_spark.sources.iceberg import compact_table
+
+    before = _rows(bm25_from_index(spark, index_path, TERMS))
+    compact_table(spark, index_path, target_files=1)
+    after = _rows(bm25_from_index(spark, index_path, TERMS))
+    assert after == before
+
+    t = IcebergTable(index_path)
+    all_tasks, _ = t.plan_files()
+    pruned, _ = t.plan_files(filters=[("token", "=", "dup")])
+    assert len(pruned) < len(all_tasks)
