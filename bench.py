@@ -139,6 +139,12 @@ BENCH_QUERY_NAMES = [
     "cover",
     "pricing_summary",
     "market_join",
+    "iceberg_bucket_join",  # shuffle-free co-located bucket-map join (round 6)
+    "pagerank",  # fixed-point link-authority iterations (round 6)
+    "bm25_rank",  # direct-scan Okapi BM25 (round 6)
+    "bm25_index",  # BM25 off the bucketed Iceberg posting index (round 6)
+    "doc_chunks",  # sliding-window chunk summary (round 6)
+    "dedup_incremental",  # Bloom-prefiltered delta-vs-corpus ingest (round 6)
 ]
 
 
