@@ -90,6 +90,14 @@ def pagerank(
         .repartition(int(n_part), "src")
         .localCheckpoint(eager=True)
     )
+    # the dangling-node SET is fixed across iterations — materialize it
+    # once (N-row scale). Deriving it per round from `outdeg` would drag
+    # the ORIGINAL edge lineage into every round's plan, i.e. one full
+    # re-scan of the 100 TB edge list per iteration just to re-learn
+    # which nodes have no out-edges.
+    dang_nodes = nodes.join(
+        outdeg, nodes["node"] == outdeg["src"], "left_anti"
+    ).localCheckpoint(eager=True)
 
     base = ((d_den - d_num) * SCALE // n) // d_den
     ranks = nodes.withColumn("rank_ppb", F.lit(SCALE // n).cast("long"))
@@ -106,9 +114,10 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__insum"))
         )
-        # dangling mass = ranks of nodes with no out-edges (1-row, lazy)
+        # dangling mass = ranks of nodes with no out-edges (1-row, lazy;
+        # ranks x checkpointed N-row set — no big-side lineage)
         dang = (
-            r.join(outdeg, "src", "left_anti")
+            ranks.join(dang_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank_ppb"), F.lit(0)).alias("__dang"))
             .withColumn("__j", _k(F.col("__dang")))
         )
