@@ -1817,12 +1817,48 @@ def _q_doc_chunks(spark, sf_dir):
     )
 
 
+def _q_seq_pack(spark, sf_dir):
+    """Per-doc sequence-packing summary (operators/chunking.pack_chunks:
+    global token-stream cut every 256 tokens via the two-phase
+    distributed prefix sum — no single-partition window over the
+    chunks): a 48-bit-md5 XOR over 'idx:offset:first:last' of every
+    chunk pins each chunk's absolute token offset and sequence
+    placement; last_seq pins the doc's final packed-sequence id."""
+    from robosat_spark.operators.chunking import chunk_documents, pack_chunks
+
+    pk = pack_chunks(chunk_documents(_t(spark, sf_dir, "documents")))
+    fp48 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":",
+                F.col("chunk_idx").cast("string"),
+                F.col("tok_offset").cast("string"),
+                F.col("seq_first").cast("string"),
+                F.col("seq_last").cast("string"),
+            )), 1, 12,
+        ), 16, 10,
+    ).cast("long")
+    return (
+        pk.select("doc_id", fp48.alias("fp48"), "seq_last")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("bit_xor(fp48)").alias("fp_pack"),
+            F.max("seq_last").alias("last_seq"),
+        )
+    )
+
+
 def _q_fingerprint_all(spark, sf_dir):
     """Per-doc exact-dup md5 fingerprint + winnowing rolling-hash
-    fingerprint + chunking summary in one gate (equi-joins on doc_id)."""
+    fingerprint + chunking summary + sequence-packing placement in one
+    gate (equi-joins on doc_id)."""
     md5s = _q_fingerprint(spark, sf_dir)
     roll = _q_doc_fingerprint_rolling(spark, sf_dir).withColumnRenamed("fp", "fp_roll")
-    return md5s.join(roll, "doc_id").join(_q_doc_chunks(spark, sf_dir), "doc_id")
+    return (
+        md5s.join(roll, "doc_id")
+        .join(_q_doc_chunks(spark, sf_dir), "doc_id")
+        .join(_q_seq_pack(spark, sf_dir), "doc_id")
+    )
 
 
 def _q_cell_encode_all(spark, sf_dir):
@@ -2407,6 +2443,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_rank": _q_bm25_topk,
             "bm25_index": _q_bm25_topk_index,
             "doc_chunks": _q_doc_chunks,
+            "seq_pack": _q_seq_pack,
             "iceberg_bucket_join": _q_iceberg_bucket_join,
             "users_retained": _q_users_retained,
             "dedup_exact": _q_dedup_exact,
@@ -3249,13 +3286,16 @@ def oracle_sql() -> dict[str, str]:
         FROM cps
     """
     # consolidated gate: md5 exact-dup key + winnowing rolling hash +
-    # chunking summary per doc (the chunk twin replays every window's
-    # boundaries and text, then the same idx-prefixed 48-bit-md5 XOR)
-    from robosat_spark.operators.chunking import chunks_sql
+    # chunking summary + sequence-packing placement per doc (the chunk
+    # twin replays every window's boundaries and text, the pack twin the
+    # global prefix sum; both fold through idx-prefixed 48-bit-md5 XORs)
+    from robosat_spark.operators.chunking import chunks_sql, pack_sql
 
     _chunks = chunks_sql("documents")
+    _pack = pack_sql(_chunks)
     sql["fingerprint"] = f"""
-        SELECT a.doc_id, a.fp, b.fp AS fp_roll, c.n_chunks, c.fp_chunks
+        SELECT a.doc_id, a.fp, b.fp AS fp_roll, c.n_chunks, c.fp_chunks,
+               p.fp_pack, p.last_seq
         FROM ({_fp_md5}) a JOIN ({_fp_roll}) b USING (doc_id)
         JOIN (
           SELECT doc_id, MAX(n_chunks) AS n_chunks,
@@ -3263,6 +3303,16 @@ def oracle_sql() -> dict[str, str]:
                      AS fp_chunks
           FROM ({_chunks}) GROUP BY doc_id
         ) c USING (doc_id)
+        JOIN (
+          SELECT doc_id,
+                 bit_xor(('0x' || substr(md5(
+                     CAST(chunk_idx AS VARCHAR) || ':' ||
+                     CAST(tok_offset AS VARCHAR) || ':' ||
+                     CAST(seq_first AS VARCHAR) || ':' ||
+                     CAST(seq_last AS VARCHAR)), 1, 12))::BIGINT) AS fp_pack,
+                 MAX(seq_last) AS last_seq
+          FROM ({_pack}) GROUP BY doc_id
+        ) p USING (doc_id)
     """
 
     # IVF family: the CTE chain replays operators.ann.kmeans_centroids +

@@ -144,6 +144,7 @@ BENCH_QUERY_NAMES = [
     "bm25_rank",  # direct-scan Okapi BM25 (round 6)
     "bm25_index",  # BM25 off the bucketed Iceberg posting index (round 6)
     "doc_chunks",  # sliding-window chunk summary (round 6)
+    "seq_pack",  # global sequence packing via two-phase prefix sum (round 6)
     "dedup_incremental",  # Bloom-prefiltered delta-vs-corpus ingest (round 6)
 ]
 

@@ -24,6 +24,8 @@ GeoJSON for features), call the operator, write parquet/GeoJSON.
     python -m robosat_spark sketch    {hll,cms} --path P --col C [--out O]
     python -m robosat_spark sketch    merge --rule {hll,cms,hist,bloom}
                                       --inputs R1 R2 ... --out O
+    python -m robosat_spark pack      --docs P --out O [--chunk-tokens 64]
+                                      [--overlap 16] [--seq-tokens 256]
 
 Reference tool parity: cover/rasterize/predict/masks/features/merge/dedupe/
 subset/compare/weights/download/serve map to the 14-tool registry of
@@ -438,6 +440,35 @@ def cmd_index(spark, args):
             print(f"{r[args.id_col]}\t{r['score']}")
 
 
+def cmd_pack(spark, args):
+    """Chunk + sequence-pack a documents parquet: sliding windows of
+    ``--chunk-tokens`` (overlap ``--overlap``), laid head-to-tail in
+    global (doc_id, chunk_idx) order and cut every ``--seq-tokens``.
+    Writes one row per chunk with tok_offset / seq_first / seq_last,
+    partitioned by ``seq_bucket = seq_first DIV 1024`` so one training
+    shard maps to one directory; prints chunk / sequence totals."""
+    from pyspark.sql import functions as F
+
+    from .operators.chunking import chunk_documents, pack_chunks
+
+    docs = spark.read.parquet(args.docs)
+    pk = pack_chunks(
+        chunk_documents(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            chunk_tokens=args.chunk_tokens, overlap=args.overlap,
+        ),
+        seq_tokens=args.seq_tokens,
+        id_col=args.id_col,
+    ).withColumn("seq_bucket", F.expr("seq_first DIV 1024"))
+    pk.write.mode("overwrite").partitionBy("seq_bucket").parquet(args.out)
+    done = spark.read.parquet(args.out)
+    n_chunks, n_seqs = done.agg(
+        F.count("*"), (F.max("seq_last") + 1).cast("long")
+    ).first()
+    print(f"pack: {n_chunks} chunks -> {n_seqs} sequences "
+          f"of {args.seq_tokens} tokens -> {args.out}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="robosat_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -554,6 +585,15 @@ def build_parser():
     ix.add_argument("--text-col", default="text")
     ix.add_argument("--id-col", default="doc_id")
     ix.set_defaults(func=cmd_index)
+
+    pk = sub.add_parser("pack"); pk.add_argument("--docs", required=True)
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--chunk-tokens", type=int, default=64)
+    pk.add_argument("--overlap", type=int, default=16)
+    pk.add_argument("--seq-tokens", type=int, default=256)
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.set_defaults(func=cmd_pack)
     return p
 
 

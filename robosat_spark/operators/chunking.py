@@ -18,7 +18,7 @@ list slicing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,6 +65,91 @@ def chunk_documents(
             F.array_join(window, " ").alias("chunk_text"),
         )
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    seq_tokens: int = 256,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    len_col: str = "chunk_len",
+    bucket_docs: int = 4096,
+) -> DataFrame:
+    """Sequence packing — the step after chunking in a training-data
+    pipeline: lay every chunk head-to-tail in global (``id_col``,
+    ``idx_col``) order and cut the token stream every ``seq_tokens``,
+    so each chunk knows its absolute token offset and which training
+    sequence(s) it lands in.
+
+    Adds to ``chunks``: ``tok_offset`` (global tokens before this
+    chunk), ``seq_first`` / ``seq_last`` (the packed-sequence ids this
+    chunk touches; a chunk straddling a cut has seq_last > seq_first).
+    All-integer arithmetic — deterministic at any parallelism.
+
+    Scale shape: a global running sum, WITHOUT a single-partition
+    window over the data. Two-phase distributed prefix sum: (1) bucket
+    rows by ``id_col DIV bucket_docs`` (order-preserving because the
+    bucket id is the ordering key's major component; ids must be
+    non-negative — DIV truncation would break bucket monotonicity at
+    negative ids) and aggregate one partial sum per bucket; (2) a
+    window cumsum over that B-row table (the ONLY single-partition
+    exchange, B = ceil(max_id/bucket_docs) rows) broadcasts back as
+    per-bucket offsets; (3) the within-bucket cumsum window partitions
+    by bucket — fully distributed. Size ``bucket_docs`` so one bucket's
+    chunks fit an executor partition (the window sorts within bucket).
+    """
+    bkt = F.expr(f"{id_col} DIV {int(bucket_docs)}")
+    ch = chunks.withColumn("__bkt", bkt)
+    bsums = ch.groupBy("__bkt").agg(F.sum(len_col).alias("__bsum"))
+    w_b = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bsums.select(
+        "__bkt",
+        F.coalesce(F.sum("__bsum").over(w_b), F.lit(0)).cast("long").alias("__boff"),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(id_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(len_col).over(w_in), F.lit(0)).cast("long")
+    out = (
+        ch.join(F.broadcast(offs), "__bkt")
+        .withColumn("tok_offset", (F.col("__boff") + local).cast("long"))
+        .withColumn("seq_first", F.expr(f"tok_offset DIV {int(seq_tokens)}"))
+        .withColumn(
+            # a zero-length chunk sitting exactly on a cut would compute
+            # (off - 1) DIV S = seq_first - 1; clamp to seq_first
+            "seq_last",
+            F.greatest(
+                F.col("seq_first"),
+                F.expr(f"(tok_offset + {len_col} - 1) DIV {int(seq_tokens)}"),
+            ),
+        )
+    )
+    return out.drop("__bkt", "__boff")
+
+
+def pack_sql(chunks_rel: str, seq_tokens: int = 256) -> str:
+    """DuckDB twin of :func:`pack_chunks` over a relation producing
+    (doc_id, chunk_idx, chunk_len, ...): the two-phase prefix sum
+    collapses to one global ordered window — same integer arithmetic,
+    bit-identical offsets and sequence ids."""
+    s = int(seq_tokens)
+    return f"""
+        SELECT *,
+               CAST(tok_offset // {s} AS BIGINT) AS seq_first,
+               CAST(GREATEST(tok_offset // {s},
+                             (tok_offset + chunk_len - 1) // {s}) AS BIGINT)
+                   AS seq_last
+        FROM (
+          SELECT *,
+                 CAST(COALESCE(SUM(chunk_len) OVER (
+                          ORDER BY doc_id, chunk_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS tok_offset
+          FROM ({chunks_rel})
+        )
+    """
 
 
 def chunks_sql(docs_rel: str, chunk_tokens: int = 64, overlap: int = 16) -> str:

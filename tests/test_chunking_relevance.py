@@ -8,7 +8,12 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from robosat_spark.operators.chunking import chunk_documents, chunks_sql
+from robosat_spark.operators.chunking import (
+    chunk_documents,
+    chunks_sql,
+    pack_chunks,
+    pack_sql,
+)
 from robosat_spark.operators.relevance import bm25_scores, bm25_sql
 
 SF = "/root/testdata/sf0.001"
@@ -99,6 +104,103 @@ def test_chunk_duckdb_twin_parity(spark):
         f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
     )
     want = sorted(tuple(r) for r in con.sql(chunks_sql("documents")).fetchall())
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------- packing
+
+
+def _chunks_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, chunk_len long"
+    )
+
+
+def test_pack_offsets_and_straddle(spark):
+    # token stream: doc0 [10, 10], doc1 [10] -> offsets 0, 10, 20;
+    # seq_tokens=16: chunk at offset 10 len 10 spans tokens 10..19 ->
+    # sequences 0 and 1; chunk at 20 sits wholly in sequence 1
+    out = {
+        (r.doc_id, r.chunk_idx): r
+        for r in pack_chunks(
+            _chunks_df(spark, [(0, 0, 10), (0, 1, 10), (1, 0, 10)]),
+            seq_tokens=16,
+        ).collect()
+    }
+    assert [out[(0, 0)].tok_offset, out[(0, 1)].tok_offset, out[(1, 0)].tok_offset] == [0, 10, 20]
+    assert (out[(0, 0)].seq_first, out[(0, 0)].seq_last) == (0, 0)
+    assert (out[(0, 1)].seq_first, out[(0, 1)].seq_last) == (0, 1)
+    assert (out[(1, 0)].seq_first, out[(1, 0)].seq_last) == (1, 1)
+
+
+def test_pack_empty_chunk_on_cut(spark):
+    # a zero-length chunk landing exactly on a sequence cut must not
+    # compute seq_last = seq_first - 1 (the (off-1) DIV S hazard)
+    out = {
+        (r.doc_id, r.chunk_idx): r
+        for r in pack_chunks(
+            _chunks_df(spark, [(0, 0, 16), (1, 0, 0), (2, 0, 4)]),
+            seq_tokens=16,
+        ).collect()
+    }
+    empty = out[(1, 0)]
+    assert empty.tok_offset == 16
+    assert empty.seq_first == empty.seq_last == 1
+
+
+def test_pack_bucketing_invariance(spark):
+    # the two-phase prefix sum must give the SAME global offsets for any
+    # bucket granularity (bucket_docs=1 puts every doc in its own bucket)
+    rows = [(d, i, (d * 7 + i * 3) % 11) for d in range(20) for i in range(3)]
+    a = sorted(
+        tuple(r)
+        for r in pack_chunks(
+            _chunks_df(spark, rows), seq_tokens=8, bucket_docs=1
+        ).select("doc_id", "chunk_idx", "tok_offset", "seq_first", "seq_last").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pack_chunks(
+            _chunks_df(spark, rows).repartition(7), seq_tokens=8, bucket_docs=1000
+        ).select("doc_id", "chunk_idx", "tok_offset", "seq_first", "seq_last").collect()
+    )
+    assert a == b and len(a) == 60
+
+
+def test_pack_no_global_single_partition_window(spark):
+    # scale guard: the only single-partition exchange in the plan is the
+    # B-row bucket-offset table; the per-chunk window partitions by
+    # bucket (a naive global Window.orderBy would single-partition the
+    # whole chunk stream)
+    rows = [(d, 0, 5) for d in range(100)]
+    plan = (
+        pack_chunks(_chunks_df(spark, rows), seq_tokens=16, bucket_docs=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(__bkt" in plan
+
+
+def test_pack_duckdb_twin_parity(spark):
+    pk = pack_chunks(
+        chunk_documents(spark.read.parquet(f"{SF}/documents.parquet"))
+    )
+    got = sorted(
+        tuple(r)
+        for r in pk.select(
+            "doc_id", "chunk_idx", "tok_offset", "seq_first", "seq_last"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            "SELECT doc_id, chunk_idx, tok_offset, seq_first, seq_last FROM ("
+            + pack_sql(chunks_sql("documents"))
+            + ")"
+        ).fetchall()
+    )
     assert got == want and len(got) > 0
 
 

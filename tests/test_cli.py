@@ -398,3 +398,23 @@ def test_cli_index_arg_validation(spark, tmp_path):
         main(["index", "build", "--table", str(tmp_path / "t")], spark=spark)
     with pytest.raises(SystemExit, match="requires --terms"):
         main(["index", "query", "--table", str(tmp_path / "t")], spark=spark)
+
+
+def test_cli_pack(spark, tmp_path, capsys):
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "packed")
+    main(["pack", "--docs", docs_path, "--out", out, "--seq-tokens", "128"],
+         spark=spark)
+    msg = capsys.readouterr().out
+    assert "chunks ->" in msg and "sequences" in msg
+    got = spark.read.parquet(out)
+    assert {"tok_offset", "seq_first", "seq_last", "seq_bucket"} <= set(got.columns)
+    # offsets match the operator run directly (partitionBy round-trip safe)
+    from robosat_spark.operators.chunking import chunk_documents, pack_chunks
+
+    want = pack_chunks(
+        chunk_documents(spark.read.parquet(docs_path)), seq_tokens=128
+    )
+    a = sorted(tuple(r) for r in got.select("doc_id", "chunk_idx", "tok_offset").collect())
+    b = sorted(tuple(r) for r in want.select("doc_id", "chunk_idx", "tok_offset").collect())
+    assert a == b and len(a) > 0
