@@ -1890,14 +1890,21 @@ def _q_cell_encode_all(spark, sf_dir):
 def _q_text_metrics(spark, sf_dir):
     """Per-doc text-analysis suite in one gate: token/subword counts,
     punct/alpha ratios (token_stats), stopword ratio + composite quality
-    (quality_score), shingle repetition (repetition_stats), and the
+    (quality_score), shingle repetition (repetition_stats), the
     Gopher-rule signals (mean word length, digit ratio, symbol-per-word,
-    bullet/ellipsis line fractions — new r4) — all whole-stage-codegen
-    column expressions over ONE documents scan."""
+    bullet/ellipsis line fractions — r4; duplicate line/paragraph
+    fractions + top-2-gram char fraction — new r6), and the Lee-et-al.
+    exact duplicate-span stats (corpus-wide duplicated 5-gram windows
+    merged per doc — new r6). The per-row columns stay whole-stage-codegen
+    expressions over ONE documents scan; the two corpus-level signals
+    (top-2-gram, dup spans) are linear explode->agg plans LEFT-joined back
+    on doc_id."""
     from robosat_spark.functions.text import (
         alpha_ratio,
         bullet_line_ratio,
         digit_ratio,
+        dup_line_frac,
+        dup_para_frac,
         ellipsis_line_ratio,
         mean_word_length,
         pii_email_count,
@@ -1909,13 +1916,18 @@ def _q_text_metrics(spark, sf_dir):
         symbol_word_ratio,
         token_count,
     )
-    from robosat_spark.operators.dedup import word_shingles, words
+    from robosat_spark.operators.dedup import (
+        duplicate_spans,
+        top_ngram_char_frac,
+        word_shingles,
+        words,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     w = words(F.col("text"))
     total = F.greatest(F.size(w) - F.lit(2), F.lit(1))
     distinct = F.size(word_shingles(F.col("text"), 3))
-    return docs.select(
+    base = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         subword_count(F.col("text")).alias("n_subwords"),
@@ -1933,8 +1945,29 @@ def _q_text_metrics(spark, sf_dir):
         F.round(symbol_word_ratio(F.col("text")), 6).alias("symbol_word_ratio"),
         F.round(bullet_line_ratio(F.col("text")), 6).alias("bullet_line_ratio"),
         F.round(ellipsis_line_ratio(F.col("text")), 6).alias("ellipsis_line_ratio"),
+        F.round(dup_line_frac(F.col("text")), 6).alias("dup_line_frac"),
+        F.round(dup_para_frac(F.col("text")), 6).alias("dup_para_frac"),
         pii_email_count(F.col("text")).alias("n_pii_emails"),
         pii_ipv4_count(F.col("text")).alias("n_pii_ips"),
+    )
+    top2 = top_ngram_char_frac(docs, n=2).select(
+        "doc_id", F.col("top_frac").alias("top2gram_char_frac")
+    )
+    spans = duplicate_spans(docs, k=5)
+    return (
+        base.join(top2, "doc_id", "left")
+        .join(spans, "doc_id", "left")
+        .select(
+            base["*"],
+            F.coalesce("top2gram_char_frac", F.lit(0.0)).alias("top2gram_char_frac"),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+            F.coalesce("dup_span_tokens", F.lit(0).cast("long")).alias("dup_span_tokens"),
+            F.round(
+                F.coalesce("dup_span_tokens", F.lit(0)).cast("double")
+                / F.greatest("n_tokens", F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_span_frac"),
+        )
     )
 
 
@@ -3453,9 +3486,22 @@ def oracle_sql() -> dict[str, str]:
         "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) "
         "ELSE 0.0 END"
     )
+    # non-blank trimmed lines / paragraphs for the Gopher duplicate
+    # fractions (r6) — list exprs matching functions.text._nonblank
+    _nb_lines = (
+        "list_filter(list_transform(regexp_split_to_array(text, '\n'), l -> trim(l)), "
+        "l -> l <> '')"
+    )
+    _nb_paras = (
+        "list_filter(list_transform(regexp_split_to_array(text, '\n{2,}'), l -> trim(l)), "
+        "l -> l <> '')"
+    )
     # consolidated gate: token_stats + quality_score + repetition_stats
-    # columns over one documents scan (identical expressions per column)
+    # + Gopher dup-line/para + top-2-gram + Lee-et-al. dup-span columns.
+    # The two corpus-level signals are CTEs LEFT-joined on doc_id, same
+    # plan shape as the Spark gate.
     sql["text_metrics"] = f"""
+        WITH base AS (
         SELECT doc_id,
                {toks} AS n_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]')) AS n_subwords,
@@ -3486,11 +3532,70 @@ def oracle_sql() -> dict[str, str]:
                                           l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t\\n\\r\\f\\x0B]*$'))) AS DOUBLE)
                      / GREATEST(len(regexp_split_to_array(text, '\n')), 1), 6)
                  AS ellipsis_line_ratio,
+               ROUND(CASE WHEN len({_nb_lines}) > 0
+                     THEN 1.0 - CAST(len(list_distinct({_nb_lines})) AS DOUBLE)
+                              / len({_nb_lines}) ELSE 0.0 END, 6) AS dup_line_frac,
+               ROUND(CASE WHEN len({_nb_paras}) > 0
+                     THEN 1.0 - CAST(len(list_distinct({_nb_paras})) AS DOUBLE)
+                              / len({_nb_paras}) ELSE 0.0 END, 6) AS dup_para_frac,
                len(regexp_extract_all(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_pii_emails,
                len(regexp_extract_all(text,
                    '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_pii_ips
         FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS w,
+                 length(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]', '', 'g')) AS nonws
+          FROM documents
+        ),
+        g2 AS (
+          SELECT doc_id, nonws,
+                 CASE WHEN len(w) < 2 THEN array_to_string(w, ' ')
+                      ELSE array_to_string(w[i:i+1], ' ') END AS gram
+          FROM toks, UNNEST(generate_series(1, GREATEST(len(w) - 1, 1))) AS t(i)
+        ),
+        c2 AS (SELECT doc_id, nonws, gram, count(*) AS cnt FROM g2 GROUP BY ALL),
+        t2 AS (
+          SELECT doc_id,
+                 ROUND(CASE WHEN nonws > 0
+                       THEN cnt * CAST(length(replace(gram, ' ', '')) AS DOUBLE) / nonws
+                       ELSE 0.0 END, 6) AS top2gram_char_frac,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+          FROM c2
+        ),
+        g5 AS (
+          SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS gram
+          FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+          WHERE len(w) >= 5
+        ),
+        dup5 AS (SELECT gram FROM g5 GROUP BY gram HAVING count(*) >= 2),
+        h5 AS (SELECT doc_id, pos FROM g5 JOIN dup5 USING (gram)),
+        flg AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+                      THEN 1 ELSE 0 END AS f
+          FROM h5 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        sp AS (SELECT doc_id, pos,
+                      sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+               FROM flg),
+        spagg AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 4 AS e
+                  FROM sp GROUP BY doc_id, sid),
+        spans AS (SELECT doc_id, count(*) AS n_dup_spans,
+                         CAST(sum(e - s + 1) AS BIGINT) AS dup_span_tokens
+                  FROM spagg GROUP BY doc_id)
+        SELECT base.*,
+               COALESCE(t2f.top2gram_char_frac, 0.0) AS top2gram_char_frac,
+               COALESCE(spans.n_dup_spans, 0) AS n_dup_spans,
+               COALESCE(spans.dup_span_tokens, 0) AS dup_span_tokens,
+               ROUND(CAST(COALESCE(spans.dup_span_tokens, 0) AS DOUBLE)
+                     / GREATEST(base.n_tokens, 1), 6) AS dup_span_frac
+        FROM base
+        LEFT JOIN (SELECT doc_id, top2gram_char_frac FROM t2 WHERE rn = 1) t2f
+               USING (doc_id)
+        LEFT JOIN spans USING (doc_id)
     """
 
     _css = cosine_sim_sql

@@ -116,6 +116,38 @@ def ellipsis_line_ratio(text: Column) -> Column:
     return ell.cast("double") / F.greatest(F.size(lines), F.lit(1)).cast("double")
 
 
+def _nonblank(parts: Column) -> Column:
+    """Trim each part, drop blanks (shared by the duplicate-fraction rules).
+
+    The lambda MUST be single-arg: ``F.transform(parts, F.trim)`` would call
+    the two-parameter trim(col, trimstr) with the ELEMENT INDEX as the trim
+    string — silently trimming '0'/'1'/... characters per position."""
+    return F.filter(F.transform(parts, lambda p: F.trim(p)), lambda p: p != "")
+
+
+def dup_line_frac(text: Column) -> Column:
+    """Gopher repetition rule: fraction of non-blank lines that are exact
+    duplicates of an earlier line (1 - distinct/total). Pure per-row array
+    expressions — no shuffle, whole-stage codegen."""
+    lines = _nonblank(F.split(text, "\n"))
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_para_frac(text: Column) -> Column:
+    """Gopher repetition rule: duplicate-paragraph fraction. Paragraphs are
+    blank-line-separated blocks (split on 2+ newlines)."""
+    paras = _nonblank(F.split(text, r"\n{2,}"))
+    n = F.size(paras)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(paras)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def quality_score(text: Column) -> Column:
     """Composite document-quality score in [0, 1]: length band + alpha ratio
     + moderate punctuation + stopword presence (heuristic quality scoring

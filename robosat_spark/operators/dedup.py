@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def words(text: Column) -> Column:
@@ -35,21 +36,29 @@ def words(text: Column) -> Column:
     return F.split(F.trim(text), WS_RUN)
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined). Texts shorter than k words
-    contribute one shingle: the whole text.
+def word_ngrams_from_words(w: Column, k: int) -> Column:
+    """All k-word n-grams in order, WITH multiplicity (space-joined), over
+    an already-split word array. Arrays shorter than k contribute one
+    n-gram: the whole text.
 
     Built by zip_with over k pre-shifted array views — one O(n) pass —
     instead of a per-element ``slice`` (which re-copies a k-window per
     output element and measured ~5x slower)."""
-    w = words(text)
     n_sh = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
     joined = F.slice(w, k, n_sh)
     for off in range(k - 2, -1, -1):
         joined = F.zip_with(F.slice(w, off + 1, n_sh), joined, lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(
-        F.when(F.size(w) < k, F.array(F.array_join(w, " "))).otherwise(joined)
-    )
+    return F.when(F.size(w) < k, F.array(F.array_join(w, " "))).otherwise(joined)
+
+
+def word_ngrams(text: Column, k: int = 3) -> Column:
+    """``word_ngrams_from_words`` over the whitespace split of ``text``."""
+    return word_ngrams_from_words(words(text), k)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (the dedup/MinHash input set)."""
+    return F.array_distinct(word_ngrams(text, k))
 
 
 def _hash60(s: Column) -> Column:
@@ -451,6 +460,97 @@ def benchmark_overlap(
                 6,
             ).alias("overlap"),
         )
+    )
+
+
+def top_ngram_char_frac(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """-> (doc_id, top_gram, top_cnt, top_frac): the Gopher top-n-gram
+    repetition rule — fraction of a document's non-whitespace characters
+    covered by occurrences of its MOST FREQUENT word n-gram (Rae et al.
+    2021 §A1.1 flag top-2-gram fractions > 0.20 as boilerplate). Ties
+    break deterministically by (count desc, gram asc).
+
+    Scale shape: explode n-grams (linear in corpus tokens) -> per-(doc,
+    gram) count (hash agg with map-side combine) -> per-doc top-1 via a
+    row_number window partitioned by doc_id. Texts shorter than n words
+    count their whole text as the single gram (frac 1.0 for non-blank) —
+    same short-text convention as ``word_ngrams``."""
+    nonws = F.length(F.regexp_replace(F.col(text_col), r"[ \t\n\r\f\x0B]", ""))
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        nonws.alias("nonws"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = g.groupBy("doc_id", "nonws", "gram").agg(F.count("*").alias("top_cnt"))
+    win = Window.partitionBy("doc_id").orderBy(F.desc("top_cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_gram"),
+            "top_cnt",
+            F.round(
+                F.when(
+                    F.col("nonws") > 0,
+                    F.col("top_cnt")
+                    * F.length(F.replace(F.col("gram"), F.lit(" "), F.lit("")))
+                    .cast("double")
+                    / F.col("nonws").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_frac"),
+        )
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """-> (doc_id, n_dup_spans, dup_span_tokens): exact substring-level
+    duplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every word k-gram that occurs >= 2 times
+    ANYWHERE in the corpus (cross-document or self-repetition) marks its
+    token window; overlapping/adjacent windows merge into maximal spans
+    per document. The per-doc span token count is the signal a pipeline
+    uses to cut duplicated passages (the paper's ExactSubstr at the
+    token-window granularity a shuffle engine can express — a true
+    distributed suffix array is not a DataFrame-shaped computation).
+
+    Scale shape, all linear in corpus tokens: posexplode k-grams ->
+    corpus-wide gram count (hash agg, map-side combine) -> duplicated
+    grams equi-joined back to positions (shuffle hash join; the dup-gram
+    side is corpus-sized, never collected/broadcast) -> per-doc
+    gaps-and-islands merge with two windows partitioned by doc_id.
+    Documents shorter than k words have no k-gram and are reported by the
+    caller as 0 (left join)."""
+    w = words(F.col(text_col))
+    g = (
+        docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+        .filter(F.size("w") >= k)
+        .select("doc_id", F.posexplode(word_ngrams_from_words(F.col("w"), k)).alias("pos", "gram"))
+    )
+    dup = g.groupBy("gram").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
+    hits = g.join(dup.select("gram"), "gram").select("doc_id", "pos")
+    bypos = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "new_span",
+            F.when(
+                F.lag("pos").over(bypos).isNull()
+                | (F.col("pos") > F.lag("pos").over(bypos) + k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_span").over(bypos))
+        .groupBy("doc_id", "sid")
+        .agg((F.max("pos") - F.min("pos") + k).alias("span_tokens"))
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("span_tokens").alias("dup_span_tokens"),
     )
 
 

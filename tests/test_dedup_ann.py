@@ -532,3 +532,86 @@ def test_incremental_bloom_prefilter_skips_certain_new(spark):
         .select("doc_id", "fp").collect()
     )
     assert got == want
+
+
+def test_duplicate_spans_cross_doc_self_rep_and_merge(spark):
+    """duplicate_spans (Lee et al. substring dedup): a 5-gram shared across
+    two docs marks a 5-token span in EACH; within-doc repetition at
+    adjacent offsets merges into ONE maximal span; clean docs are absent.
+    Plan must contain no BroadcastNestedLoopJoin."""
+    from robosat_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "a b C D E F G h i j"),          # shares C..G with doc 2
+        (2, "p q r C D E F G s t"),
+        (3, "x y z w v x y z w v"),          # 'x y z w v' at pos 0 and 5 -> merge
+        (4, "unique words only here nothing repeats at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = duplicate_spans(docs, k=5)
+    got = {r["doc_id"]: (r["n_dup_spans"], r["dup_span_tokens"]) for r in out.collect()}
+    assert got == {1: (1, 5), 2: (1, 5), 3: (1, 10)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_duplicate_spans_gap_vs_adjacent_merge(spark):
+    """Hits at pos p and p+k merge (contiguous coverage); pos p and p+k+1
+    stay two spans (one uncovered token between)."""
+    from robosat_spark.operators.dedup import duplicate_spans
+
+    dup1 = "C1 C2 C3"  # k=3 grams
+    rows = [
+        # doc 1: dup gram at pos 0 and pos 3 (adjacent coverage) -> one span of 6
+        (1, f"{dup1} {dup1}"),
+        (2, f"{dup1} xx1 yy1 zz1"),  # second copy of dup1 so it is corpus-duplicated
+        # doc 3: dup gram at pos 0 and pos 4 (gap of one token) -> two spans of 3
+        (3, f"DD1 DD2 DD3 gap1 DD1 DD2 DD3"),
+        (4, f"DD1 DD2 DD3 tail1 tail2 tail3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["n_dup_spans"], r["dup_span_tokens"])
+           for r in duplicate_spans(docs, k=3).collect()}
+    assert got[1] == (1, 6)
+    assert got[3] == (2, 6)
+
+
+def test_top_ngram_char_frac_counts_and_ties(spark):
+    """Gopher top-2-gram char fraction: multiplicity counting, short-text
+    whole-doc fallback, deterministic (cnt desc, gram asc) tie-break."""
+    from robosat_spark.operators.dedup import top_ngram_char_frac
+
+    rows = [
+        (1, "a b a b a b"),   # 'a b' x3 of 5 grams; 3*2/6 nonws = 1.0
+        (2, "x"),             # short fallback: whole text, frac 1.0
+        (3, "p q r"),         # all cnt 1 -> lexicographic 'p q'
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["top_gram"], r["top_cnt"], r["top_frac"])
+           for r in top_ngram_char_frac(docs, n=2).collect()}
+    assert got[1] == ("a b", 3, 1.0)
+    assert got[2] == ("x", 1, 1.0)
+    assert got[3][0] == "p q"
+
+
+def test_dup_line_and_para_fractions(spark):
+    """Per-row Gopher duplicate-line / duplicate-paragraph fractions:
+    blank lines excluded, paragraphs split on 2+ newlines."""
+    from robosat_spark.functions.text import dup_line_frac, dup_para_frac
+
+    text1 = "foo\nbar\nfoo\n\nbaz"          # lines foo,bar,foo,baz; paras distinct
+    text2 = "aaa1 bbb1\n\naaa1 bbb1\n\nccc1"  # dup paragraph
+    docs = spark.createDataFrame([(1, text1), (2, text2), (3, "")],
+                                 "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["dl"], r["dp"])
+        for r in docs.select(
+            "doc_id",
+            F.round(dup_line_frac(F.col("text")), 6).alias("dl"),
+            F.round(dup_para_frac(F.col("text")), 6).alias("dp"),
+        ).collect()
+    }
+    assert got[1] == (0.25, 0.0)
+    assert got[2][1] == round(1 - 2 / 3, 6)
+    assert got[3] == (0.0, 0.0)
