@@ -2441,6 +2441,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Bench variant: corpus-wide duplicate 5-gram spans alone (the heavy
+    corpus-level stage of the extended text_metrics gate)."""
+    from robosat_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), k=5)
+
+
+def _q_top2gram(spark, sf_dir):
+    """Bench variant: Gopher top-2-gram char fraction alone."""
+    from robosat_spark.operators.dedup import top_ngram_char_frac
+
+    return top_ngram_char_frac(_t(spark, sf_dir, "documents"), n=2)
+
+
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Granular per-variant queries for bench.py: the consolidated driver
     gates union several plans, which would blur per-plan walls — the bench
@@ -2481,6 +2496,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "users_retained": _q_users_retained,
             "dedup_exact": _q_dedup_exact,
             "dedup_incremental": _q_dedup_incremental,
+            "dup_spans": _q_dup_spans,
+            "top2gram": _q_top2gram,
         }
     )
     return qs
