@@ -1848,16 +1848,36 @@ def _q_seq_pack(spark, sf_dir):
     )
 
 
+def _q_dup_span_cut(spark, sf_dir):
+    """Per-doc ExactSubstr CUT summary (operators/dedup.
+    remove_duplicate_spans): a 48-bit-md5 fingerprint of the cleaned text
+    value-pins every surviving token and its order, n_cut the removed
+    token count. Every doc keeps a row (untouched docs fingerprint their
+    space-normalized text with n_cut = 0)."""
+    from robosat_spark.operators.dedup import remove_duplicate_spans
+
+    out = remove_duplicate_spans(_t(spark, sf_dir, "documents"), k=5)
+    return out.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("clean_text"), 1, 12), 16, 10).cast("long").alias(
+            "fp_nodup"
+        ),
+        F.col("n_tokens_removed").alias("n_cut"),
+    )
+
+
 def _q_fingerprint_all(spark, sf_dir):
     """Per-doc exact-dup md5 fingerprint + winnowing rolling-hash
-    fingerprint + chunking summary + sequence-packing placement in one
-    gate (equi-joins on doc_id)."""
+    fingerprint + chunking summary + sequence-packing placement +
+    ExactSubstr duplicate-span cut summary in one gate (equi-joins on
+    doc_id)."""
     md5s = _q_fingerprint(spark, sf_dir)
     roll = _q_doc_fingerprint_rolling(spark, sf_dir).withColumnRenamed("fp", "fp_roll")
     return (
         md5s.join(roll, "doc_id")
         .join(_q_doc_chunks(spark, sf_dir), "doc_id")
         .join(_q_seq_pack(spark, sf_dir), "doc_id")
+        .join(_q_dup_span_cut(spark, sf_dir), "doc_id")
     )
 
 
@@ -2497,6 +2517,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact": _q_dedup_exact,
             "dedup_incremental": _q_dedup_incremental,
             "dup_spans": _q_dup_spans,
+            "dup_span_cut": _q_dup_span_cut,
             "top2gram": _q_top2gram,
         }
     )
@@ -3335,8 +3356,35 @@ def oracle_sql() -> dict[str, str]:
                END AS BIGINT) AS fp
         FROM cps
     """
+    # shared ExactSubstr span CTE chain (text_metrics + fingerprint twins):
+    # word arrays -> 5-gram positions -> corpus-duplicated grams -> per-doc
+    # gaps-and-islands merged [s, e] token ranges (0-based, inclusive)
+    _spanctes = """
+        stoks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS w
+          FROM documents
+        ),
+        g5 AS (
+          SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS gram
+          FROM stoks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+          WHERE len(w) >= 5
+        ),
+        dup5 AS (SELECT gram FROM g5 GROUP BY gram HAVING count(*) >= 2),
+        h5 AS (SELECT doc_id, pos FROM g5 JOIN dup5 USING (gram)),
+        flg AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+                      THEN 1 ELSE 0 END AS f
+          FROM h5 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        sp AS (SELECT doc_id, pos,
+                      sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+               FROM flg),
+        spagg AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 4 AS e
+                  FROM sp GROUP BY doc_id, sid)"""
     # consolidated gate: md5 exact-dup key + winnowing rolling hash +
-    # chunking summary + sequence-packing placement per doc (the chunk
+    # chunking summary + sequence-packing placement + ExactSubstr
+    # duplicate-span cut summary per doc (the chunk
     # twin replays every window's boundaries and text, the pack twin the
     # global prefix sum; both fold through idx-prefixed 48-bit-md5 XORs)
     from robosat_spark.operators.chunking import chunks_sql, pack_sql
@@ -3344,8 +3392,22 @@ def oracle_sql() -> dict[str, str]:
     _chunks = chunks_sql("documents")
     _pack = pack_sql(_chunks)
     sql["fingerprint"] = f"""
+        WITH {_spanctes},
+        cov AS (SELECT doc_id, UNNEST(generate_series(s, e)) AS pos FROM spagg),
+        tk AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+               FROM stoks, UNNEST(generate_series(1, len(w))) AS t(i)),
+        keptrows AS (SELECT tk.doc_id, tk.pos, tk.tok
+                     FROM tk ANTI JOIN cov USING (doc_id, pos)),
+        kept AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                        count(*) AS n_kept
+                 FROM keptrows GROUP BY doc_id),
+        cut AS (SELECT s.doc_id,
+                       ('0x' || substr(md5(COALESCE(k.clean_text, '')), 1, 12))::BIGINT
+                           AS fp_nodup,
+                       len(s.w) - COALESCE(k.n_kept, 0) AS n_cut
+                FROM stoks s LEFT JOIN kept k USING (doc_id))
         SELECT a.doc_id, a.fp, b.fp AS fp_roll, c.n_chunks, c.fp_chunks,
-               p.fp_pack, p.last_seq
+               p.fp_pack, p.last_seq, cut.fp_nodup, cut.n_cut
         FROM ({_fp_md5}) a JOIN ({_fp_roll}) b USING (doc_id)
         JOIN (
           SELECT doc_id, MAX(n_chunks) AS n_chunks,
@@ -3363,6 +3425,7 @@ def oracle_sql() -> dict[str, str]:
                  MAX(seq_last) AS last_seq
           FROM ({_pack}) GROUP BY doc_id
         ) p USING (doc_id)
+        JOIN cut USING (doc_id)
     """
 
     # IVF family: the CTE chain replays operators.ann.kmeans_centroids +
@@ -3582,24 +3645,7 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
           FROM c2
         ),
-        g5 AS (
-          SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS gram
-          FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
-          WHERE len(w) >= 5
-        ),
-        dup5 AS (SELECT gram FROM g5 GROUP BY gram HAVING count(*) >= 2),
-        h5 AS (SELECT doc_id, pos FROM g5 JOIN dup5 USING (gram)),
-        flg AS (
-          SELECT doc_id, pos,
-                 CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
-                      THEN 1 ELSE 0 END AS f
-          FROM h5 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        ),
-        sp AS (SELECT doc_id, pos,
-                      sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
-               FROM flg),
-        spagg AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 4 AS e
-                  FROM sp GROUP BY doc_id, sid),
+        {_spanctes},
         spans AS (SELECT doc_id, count(*) AS n_dup_spans,
                          CAST(sum(e - s + 1) AS BIGINT) AS dup_span_tokens
                   FROM spagg GROUP BY doc_id)

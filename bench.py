@@ -147,6 +147,7 @@ BENCH_QUERY_NAMES = [
     "seq_pack",  # global sequence packing via two-phase prefix sum (round 6)
     "dedup_incremental",  # Bloom-prefiltered delta-vs-corpus ingest (round 6)
     "dup_spans",  # Lee-et-al. corpus-wide duplicate 5-gram spans (round 6)
+    "dup_span_cut",  # ExactSubstr cut transform: spans removed + reassembly (round 6)
     "top2gram",  # Gopher top-2-gram char-fraction repetition rule (round 6)
 ]
 

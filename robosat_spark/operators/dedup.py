@@ -506,26 +506,28 @@ def top_ngram_char_frac(
     )
 
 
-def duplicate_spans(
+def duplicate_span_ranges(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:
-    """-> (doc_id, n_dup_spans, dup_span_tokens): exact substring-level
-    duplication (Lee et al. 2022, "Deduplicating Training Data Makes
-    Language Models Better"): every word k-gram that occurs >= 2 times
-    ANYWHERE in the corpus (cross-document or self-repetition) marks its
-    token window; overlapping/adjacent windows merge into maximal spans
-    per document. The per-doc span token count is the signal a pipeline
-    uses to cut duplicated passages (the paper's ExactSubstr at the
-    token-window granularity a shuffle engine can express — a true
-    distributed suffix array is not a DataFrame-shaped computation).
+    """-> (doc_id, span_start, span_end): exact substring-level duplication
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every word k-gram that occurs >= 2 times ANYWHERE in the
+    corpus (cross-document or self-repetition) marks its token window
+    [pos, pos+k-1]; overlapping/adjacent windows merge into maximal spans
+    per document (the paper's ExactSubstr at the token-window granularity
+    a shuffle engine can express — a true distributed suffix array is not
+    a DataFrame-shaped computation). Positions are 0-based word offsets;
+    span_end is inclusive.
 
     Scale shape, all linear in corpus tokens: posexplode k-grams ->
     corpus-wide gram count (hash agg, map-side combine) -> duplicated
     grams equi-joined back to positions (shuffle hash join; the dup-gram
-    side is corpus-sized, never collected/broadcast) -> per-doc
-    gaps-and-islands merge with two windows partitioned by doc_id.
-    Documents shorter than k words have no k-gram and are reported by the
-    caller as 0 (left join)."""
+    side is corpus-sized, never collected — AQE may still broadcast it
+    when it turns out small) -> per-doc gaps-and-islands merge with two
+    windows partitioned by doc_id. The gram explode feeds both the count
+    and the probe side, so it is computed twice — a looping caller can
+    persist() the exploded frame, but the operator does not pin storage
+    itself (see the hist_quantiles eager-checkpoint lesson)."""
     w = words(F.col(text_col))
     g = (
         docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
@@ -535,7 +537,7 @@ def duplicate_spans(
     dup = g.groupBy("gram").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
     hits = g.join(dup.select("gram"), "gram").select("doc_id", "pos")
     bypos = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (
+    return (
         hits.withColumn(
             "new_span",
             F.when(
@@ -546,11 +548,73 @@ def duplicate_spans(
         )
         .withColumn("sid", F.sum("new_span").over(bypos))
         .groupBy("doc_id", "sid")
-        .agg((F.max("pos") - F.min("pos") + k).alias("span_tokens"))
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + k - 1).alias("span_end"))
+        .select("doc_id", "span_start", "span_end")
     )
-    return spans.groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_spans"),
-        F.sum("span_tokens").alias("dup_span_tokens"),
+
+
+def duplicate_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """-> (doc_id, n_dup_spans, dup_span_tokens): per-doc aggregate of
+    ``duplicate_span_ranges`` — the REPORTING face of the pair (the
+    text_metrics gate columns); ``remove_duplicate_spans`` is the
+    transform face. Documents with no duplicated k-gram are absent
+    (callers left-join and coalesce to 0)."""
+    return (
+        duplicate_span_ranges(docs, id_col, text_col, k)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_span_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """-> (doc_id, clean_text, n_tokens_removed): CUT every duplicated
+    span from every document — the transform step of Lee et al.'s
+    ExactSubstr dedup (their released tool removes EVERY occurrence of a
+    range that appears elsewhere; the paper reports leaving vs not
+    leaving one canonical copy is statistically immaterial at corpus
+    scale). Tokens covered by any merged span are dropped; the survivors
+    re-join with single spaces in original order. Documents made empty
+    keep a row with clean_text = ''.
+
+    Scale shape: span ranges explode to one row per COVERED position
+    (``sequence(start, end)`` — linear in removed tokens, no range join /
+    BNLJ), tokens left-anti equi-join against that cover on (doc_id,
+    pos), and each doc reassembles with an order-pinned collect_list
+    whose state is bounded by the document's own length."""
+    ranges = duplicate_span_ranges(docs, id_col, text_col, k)
+    cover = ranges.select(
+        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("w"))
+    toks = base.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+    kept = (
+        toks.join(cover, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("w").alias("n_total"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_tokens_removed"),
+        )
     )
 
 

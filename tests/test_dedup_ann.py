@@ -615,3 +615,24 @@ def test_dup_line_and_para_fractions(spark):
     assert got[1] == (0.25, 0.0)
     assert got[2][1] == round(1 - 2 / 3, 6)
     assert got[3] == (0.0, 0.0)
+
+
+def test_remove_duplicate_spans_cuts_all_occurrences(spark):
+    """remove_duplicate_spans cuts every covered token in every doc (the
+    Lee-et-al. tool's behavior), keeps survivors in order, and reports
+    untouched docs verbatim (space-normalized) with n_tokens_removed=0."""
+    from robosat_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "a b C D E F G h i j"),
+        (2, "p q r C D E F G s t"),
+        (3, "x y z w v x y z w v"),   # fully covered -> empty
+        (4, "unique words only here nothing repeats at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+           for r in remove_duplicate_spans(docs, k=5).collect()}
+    assert got[1] == ("a b h i j", 5)
+    assert got[2] == ("p q r s t", 5)
+    assert got[3] == ("", 10)
+    assert got[4] == ("unique words only here nothing repeats at all", 0)
