@@ -1988,7 +1988,20 @@ def _q_text_metrics(spark, sf_dir):
                 6,
             ).alias("dup_span_frac"),
         )
+        # bigram-LM fluency columns (late r6): every doc has exactly one
+        # row on both sides, so an equi inner join folds them in
+        .join(_q_lm_score(spark, sf_dir), "doc_id")
     )
+
+
+def _q_lm_score(spark, sf_dir):
+    """Corpus-trained add-one bigram LM scored per doc (CCNet-class
+    quality signal, operators/lm.py): int64 micro-unit log-prob sum +
+    per-token perplexity. Granular bench variant; correctness flows
+    through the text_metrics consolidated gate."""
+    from robosat_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
 # 12 host shapes covering composite public suffixes (bbc.co.uk), deep
@@ -2519,6 +2532,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dup_spans": _q_dup_spans,
             "dup_span_cut": _q_dup_span_cut,
             "top2gram": _q_top2gram,
+            "lm_score": _q_lm_score,
         }
     )
     return qs
@@ -3580,6 +3594,8 @@ def oracle_sql() -> dict[str, str]:
     # + Gopher dup-line/para + top-2-gram + Lee-et-al. dup-span columns.
     # The two corpus-level signals are CTEs LEFT-joined on doc_id, same
     # plan shape as the Spark gate.
+    from robosat_spark.operators.lm import bigram_lm_sql
+
     sql["text_metrics"] = f"""
         WITH base AS (
         SELECT doc_id,
@@ -3654,11 +3670,13 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(spans.n_dup_spans, 0) AS n_dup_spans,
                COALESCE(spans.dup_span_tokens, 0) AS dup_span_tokens,
                ROUND(CAST(COALESCE(spans.dup_span_tokens, 0) AS DOUBLE)
-                     / GREATEST(base.n_tokens, 1), 6) AS dup_span_frac
+                     / GREATEST(base.n_tokens, 1), 6) AS dup_span_frac,
+               lm.n_bigrams, lm.lp_micro, lm.ppl
         FROM base
         LEFT JOIN (SELECT doc_id, top2gram_char_frac FROM t2 WHERE rn = 1) t2f
                USING (doc_id)
         LEFT JOIN spans USING (doc_id)
+        JOIN ({bigram_lm_sql("documents")}) lm USING (doc_id)
     """
 
     _css = cosine_sim_sql

@@ -149,6 +149,7 @@ BENCH_QUERY_NAMES = [
     "dup_spans",  # Lee-et-al. corpus-wide duplicate 5-gram spans (round 6)
     "dup_span_cut",  # ExactSubstr cut transform: spans removed + reassembly (round 6)
     "top2gram",  # Gopher top-2-gram char-fraction repetition rule (round 6)
+    "lm_score",  # corpus-trained add-one bigram LM perplexity, micro fixed-point (round 6)
 ]
 
 
