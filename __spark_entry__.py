@@ -1192,7 +1192,23 @@ def _q_top_tokens_all(spark, sf_dir):
     bmi = _q_bm25_topk_index(spark, sf_dir).select(
         F.lit("bm25i").alias("part"), "token", "n", "rank"
     )
-    return counts.unionByName(bm).unionByName(bmi)
+    bpe = _q_bpe_merges(spark, sf_dir).select(
+        F.lit("bpe").alias("part"),
+        F.concat_ws(" ", "lhs", "rhs").alias("token"),
+        F.col("cnt").cast("double").alias("n"),
+        F.col("step").alias("rank"),
+    )
+    return counts.unionByName(bm).unionByName(bmi).unionByName(bpe)
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (operators/bpe): the first 8
+    learned character-pair merges over the documents corpus, in training
+    order with deterministic tie-breaks. part='bpe' of the top_tokens
+    gate (token = 'lhs rhs'); granular bench variant bpe_merges."""
+    from robosat_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
 def _q_doc_fingerprint_rolling(spark, sf_dir):
@@ -2533,6 +2549,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dup_span_cut": _q_dup_span_cut,
             "top2gram": _q_top2gram,
             "lm_score": _q_lm_score,
+            "bpe_merges": _q_bpe_merges,
         }
     )
     return qs
@@ -3088,6 +3105,15 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
               FROM ({_bm25}))
         WHERE rank <= 10
+    """
+    # part='bpe': the unrolled 8-round merge-training twin (operators/bpe)
+    from robosat_spark.operators.bpe import bpe_sql
+
+    sql["top_tokens"] += f"""
+        UNION ALL
+        SELECT 'bpe' AS part, lhs || ' ' || rhs AS token,
+               CAST(cnt AS DOUBLE) AS n, step AS rank
+        FROM ({bpe_sql("documents", 8)})
     """
 
     sql["dedup_clusters"] = f"""
