@@ -654,7 +654,29 @@ def _q_sample_split(spark, sf_dir):
         .select(F.lit("split").alias("part"),
                 F.col("split").alias("grp"), "n_docs", "total_chars")
     )
-    return bern.unionByName(strat).unionByName(split)
+    # part='dsir': importance-resampling selection (target = lang 'en');
+    # per-lang counts + char sums over the SELECTED docs pin the exact
+    # membership, which pins every micro log-ratio behind the keep rule
+    dsir = (
+        _q_dsir_weights(spark, sf_dir)
+        .filter("selected")
+        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(F.lit("dsir").alias("part"),
+                F.col("lang").alias("grp"), "n_docs", "total_chars")
+    )
+    return bern.unionByName(strat).unionByName(split).unionByName(dsir)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-ngram importance weights (operators/dsir, Xie et al.
+    2023), target = the lang='en' slice: per-doc int64 micro log-weight
+    + the logw>0 keep rule. Granular bench variant; correctness flows
+    through sample_split part='dsir'."""
+    from robosat_spark.operators.dsir import dsir_weights
+
+    return dsir_weights(_t(spark, sf_dir, "documents"), F.col("lang") == "en")
 
 
 def _q_lang_confusion(spark, sf_dir):
@@ -2550,6 +2572,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "top2gram": _q_top2gram,
             "lm_score": _q_lm_score,
             "bpe_merges": _q_bpe_merges,
+            "dsir_weights": _q_dsir_weights,
         }
     )
     return qs
@@ -3001,6 +3024,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'split' AS part, {_split_c} AS grp, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 2
+    """
+    # part='dsir': importance-resampling selection twin (operators/dsir)
+    from robosat_spark.operators.dsir import dsir_sql
+
+    sql["sample_split"] += f"""
+        UNION ALL
+        SELECT 'dsir' AS part, d.lang AS grp, COUNT(*) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+        FROM ({dsir_sql("documents", "lang = 'en'")}) w
+        JOIN documents d USING (doc_id)
+        WHERE w.selected GROUP BY d.lang
     """
 
     sql["knn_label_accuracy"] = f"""

@@ -151,6 +151,7 @@ BENCH_QUERY_NAMES = [
     "top2gram",  # Gopher top-2-gram char-fraction repetition rule (round 6)
     "lm_score",  # corpus-trained add-one bigram LM perplexity, micro fixed-point (round 6)
     "bpe_merges",  # distributed BPE merge training, 8 rounds over the vocab table (round 6)
+    "dsir_weights",  # DSIR hashed-ngram importance weights + keep rule (round 6)
 ]
 
 
