@@ -1214,13 +1214,28 @@ def _q_top_tokens_all(spark, sf_dir):
     bmi = _q_bm25_topk_index(spark, sf_dir).select(
         F.lit("bm25i").alias("part"), "token", "n", "rank"
     )
-    bpe = _q_bpe_merges(spark, sf_dir).select(
+    from robosat_spark.operators.bpe import bpe_corpus_tokens, bpe_train_with_vocab
+
+    merges_df, enc = bpe_train_with_vocab(_t(spark, sf_dir, "documents"), n_merges=8)
+    bpe = merges_df.select(
         F.lit("bpe").alias("part"),
         F.concat_ws(" ", "lhs", "rhs").alias("token"),
         F.col("cnt").cast("double").alias("n"),
         F.col("step").alias("rank"),
     )
-    return counts.unionByName(bm).unionByName(bmi).unionByName(bpe)
+    # part='bpe_tok': corpus totals under the trained vocab (the APPLY
+    # face — same training run, no second loop)
+    t0 = bpe_corpus_tokens(enc)
+    tok = t0.select(
+        F.lit("bpe_tok").alias("part"), F.lit("n_words").alias("token"),
+        F.col("n_words").cast("double").alias("n"), F.lit(1).alias("rank"),
+    ).unionByName(
+        t0.select(
+            F.lit("bpe_tok").alias("part"), F.lit("n_tokens").alias("token"),
+            F.col("n_tokens").cast("double").alias("n"), F.lit(2).alias("rank"),
+        )
+    )
+    return counts.unionByName(bm).unionByName(bmi).unionByName(bpe).unionByName(tok)
 
 
 def _q_bpe_merges(spark, sf_dir):
@@ -3140,14 +3155,23 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_bm25}))
         WHERE rank <= 10
     """
-    # part='bpe': the unrolled 8-round merge-training twin (operators/bpe)
-    from robosat_spark.operators.bpe import bpe_sql
+    # part='bpe': the unrolled 8-round merge-training twin (operators/bpe);
+    # part='bpe_tok': corpus token totals under the trained vocab
+    from robosat_spark.operators.bpe import bpe_sql, bpe_tokens_sql
 
     sql["top_tokens"] += f"""
         UNION ALL
         SELECT 'bpe' AS part, lhs || ' ' || rhs AS token,
                CAST(cnt AS DOUBLE) AS n, step AS rank
         FROM ({bpe_sql("documents", 8)})
+        UNION ALL
+        SELECT 'bpe_tok' AS part, 'n_words' AS token,
+               CAST(n_words AS DOUBLE) AS n, 1 AS rank
+        FROM ({bpe_tokens_sql("documents", 8)})
+        UNION ALL
+        SELECT 'bpe_tok' AS part, 'n_tokens' AS token,
+               CAST(n_tokens AS DOUBLE) AS n, 2 AS rank
+        FROM ({bpe_tokens_sql("documents", 8)})
     """
 
     sql["dedup_clusters"] = f"""

@@ -86,6 +86,30 @@ def bpe_train(
     of pairs (single-char vocab) — callers comparing against the SQL twin
     should train at least ``n_merges`` pairs deep, which any real corpus
     satisfies."""
+    return bpe_train_with_vocab(docs, n_merges, id_col, text_col)[0]
+
+
+def bpe_corpus_tokens(enc: DataFrame) -> DataFrame:
+    """-> one row (n_words, n_tokens): corpus totals under a trained
+    vocab — the APPLY face of the trainer ("how many tokens is my corpus
+    under this tokenizer"). ``enc`` is the (freq, enc) table returned by
+    :func:`bpe_train_with_vocab`; totals are exact integer sums."""
+    n_syms = F.size(F.filter(F.split("enc", " +"), lambda x: x != ""))
+    return enc.agg(
+        F.sum("freq").alias("n_words"),
+        F.sum(F.col("freq") * n_syms).alias("n_tokens"),
+    )
+
+
+def bpe_train_with_vocab(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(merges, enc): :func:`bpe_train`'s table plus the final encoded
+    vocab — (freq, enc) with enc the double-space symbol string after all
+    merges — from ONE training run."""
     spark = docs.sparkSession
     enc = (
         word_freqs(docs, id_col, text_col)
@@ -118,7 +142,10 @@ def bpe_train(
                 F.col("enc"), F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
             ),
         ).localCheckpoint()
-    return spark.createDataFrame(merges, "step INT, lhs STRING, rhs STRING, cnt LONG")
+    return (
+        spark.createDataFrame(merges, "step INT, lhs STRING, rhs STRING, cnt LONG"),
+        enc,
+    )
 
 
 def bpe_sql(docs_rel: str, n_merges: int = 8) -> str:
@@ -126,6 +153,29 @@ def bpe_sql(docs_rel: str, n_merges: int = 8) -> str:
     text): the merge loop unrolls to one CTE round per step (pair counts
     -> LIMIT-1 argmax with the same tie-break -> cross-attach the 1-row
     winner and replace) — the PageRank-twin pattern."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS step, lhs, rhs, cnt FROM top{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return _bpe_ctes(docs_rel, n_merges) + "\n" + unions
+
+
+def bpe_tokens_sql(docs_rel: str, n_merges: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_corpus_tokens` over the vocab trained by
+    the same unrolled rounds: one row (n_words, n_tokens)."""
+    return (
+        _bpe_ctes(docs_rel, n_merges)
+        + f"""
+        SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+               CAST(sum(freq * len(list_filter(regexp_split_to_array(trim(enc), ' +'),
+                                               x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM enc{n_merges}
+    """
+    )
+
+
+def _bpe_ctes(docs_rel: str, n_merges: int) -> str:
+    """The shared unrolled-round CTE prefix (WITH ... enc{n})."""
     from ..functions.text import WS_CLASS
 
     ws = WS_CLASS + "+"
@@ -164,8 +214,4 @@ def bpe_sql(docs_rel: str, n_merges: int = 8) -> str:
             FROM enc{r - 1}, top{r}
         )"""
         )
-    unions = "\nUNION ALL\n".join(
-        f"SELECT {r} AS step, lhs, rhs, cnt FROM top{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return "WITH " + ",\n".join(ctes)

@@ -6,7 +6,14 @@ documents table."""
 import duckdb
 import pytest
 
-from robosat_spark.operators.bpe import bpe_sql, bpe_train, word_freqs
+from robosat_spark.operators.bpe import (
+    bpe_corpus_tokens,
+    bpe_sql,
+    bpe_tokens_sql,
+    bpe_train,
+    bpe_train_with_vocab,
+    word_freqs,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -43,6 +50,18 @@ def test_bpe_whole_symbol_boundary(spark):
 def test_word_freqs_lowercased(spark):
     wf = {r.word: r.freq for r in word_freqs(_docs(spark, "The the THE cat")).collect()}
     assert wf == {"the": 3, "cat": 1}
+
+
+def test_bpe_corpus_tokens_apply(spark):
+    # after (l,o)(lo,w)(low,e)(lowe,r): low -> 1 sym, lower -> 1, lowest -> 3
+    # n_words = 2 + 1 + 1; n_tokens = 2*1 + 1*1 + 1*3
+    _, enc = bpe_train_with_vocab(_docs(spark, "low lower lowest low"), 4)
+    row = bpe_corpus_tokens(enc).collect()[0]
+    assert (row.n_words, row.n_tokens) == (4, 6)
+    con = duckdb.connect()
+    con.sql("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.sql("INSERT INTO d VALUES (1, 'low lower lowest low')")
+    assert con.sql(bpe_tokens_sql("d", 4)).fetchall() == [(4, 6)]
 
 
 def test_bpe_duckdb_twin_parity(spark):
