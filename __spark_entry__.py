@@ -1919,11 +1919,27 @@ def _q_dup_span_cut(spark, sf_dir):
     )
 
 
+def _q_dup_line_cut(spark, sf_dir):
+    """Per-doc RefinedWeb-style duplicate-LINE cut summary
+    (operators/dedup.remove_duplicate_lines): 48-bit-md5 fingerprint of
+    the line-deduped text + removed-line count. Every doc keeps a row."""
+    from robosat_spark.operators.dedup import remove_duplicate_lines
+
+    out = remove_duplicate_lines(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("clean_text"), 1, 12), 16, 10).cast("long").alias(
+            "fp_nolines"
+        ),
+        F.col("n_lines_removed").alias("n_lines_cut"),
+    )
+
+
 def _q_fingerprint_all(spark, sf_dir):
     """Per-doc exact-dup md5 fingerprint + winnowing rolling-hash
     fingerprint + chunking summary + sequence-packing placement +
-    ExactSubstr duplicate-span cut summary in one gate (equi-joins on
-    doc_id)."""
+    ExactSubstr duplicate-span cut summary + duplicate-line cut summary
+    in one gate (equi-joins on doc_id)."""
     md5s = _q_fingerprint(spark, sf_dir)
     roll = _q_doc_fingerprint_rolling(spark, sf_dir).withColumnRenamed("fp", "fp_roll")
     return (
@@ -1931,6 +1947,7 @@ def _q_fingerprint_all(spark, sf_dir):
         .join(_q_doc_chunks(spark, sf_dir), "doc_id")
         .join(_q_seq_pack(spark, sf_dir), "doc_id")
         .join(_q_dup_span_cut(spark, sf_dir), "doc_id")
+        .join(_q_dup_line_cut(spark, sf_dir), "doc_id")
     )
 
 
@@ -2588,6 +2605,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lm_score": _q_lm_score,
             "bpe_merges": _q_bpe_merges,
             "dsir_weights": _q_dsir_weights,
+            "dup_line_cut": _q_dup_line_cut,
         }
     )
     return qs
@@ -3503,9 +3521,26 @@ def oracle_sql() -> dict[str, str]:
                        ('0x' || substr(md5(COALESCE(k.clean_text, '')), 1, 12))::BIGINT
                            AS fp_nodup,
                        len(s.w) - COALESCE(k.n_kept, 0) AS n_cut
-                FROM stoks s LEFT JOIN kept k USING (doc_id))
+                FROM stoks s LEFT JOIN kept k USING (doc_id)),
+        ln AS (SELECT doc_id, i - 1 AS pos, l[i] AS line, trim(l[i]) AS key
+               FROM (SELECT doc_id, regexp_split_to_array(text, '\n') AS l
+                     FROM documents),
+                    UNNEST(generate_series(1, len(l))) AS t(i)),
+        dupl AS (SELECT key FROM ln WHERE key <> ''
+                 GROUP BY key HAVING count(*) >= 2),
+        keptl AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ctext,
+                         count(*) AS n_kept
+                  FROM (SELECT * FROM ln ANTI JOIN dupl USING (key))
+                  GROUP BY doc_id),
+        lcut AS (SELECT d.doc_id,
+                        ('0x' || substr(md5(COALESCE(k.ctext, '')), 1, 12))::BIGINT
+                            AS fp_nolines,
+                        len(regexp_split_to_array(d.text, '\n'))
+                            - COALESCE(k.n_kept, 0) AS n_lines_cut
+                 FROM documents d LEFT JOIN keptl k USING (doc_id))
         SELECT a.doc_id, a.fp, b.fp AS fp_roll, c.n_chunks, c.fp_chunks,
-               p.fp_pack, p.last_seq, cut.fp_nodup, cut.n_cut
+               p.fp_pack, p.last_seq, cut.fp_nodup, cut.n_cut,
+               lcut.fp_nolines, lcut.n_lines_cut
         FROM ({_fp_md5}) a JOIN ({_fp_roll}) b USING (doc_id)
         JOIN (
           SELECT doc_id, MAX(n_chunks) AS n_chunks,
@@ -3524,6 +3559,7 @@ def oracle_sql() -> dict[str, str]:
           FROM ({_pack}) GROUP BY doc_id
         ) p USING (doc_id)
         JOIN cut USING (doc_id)
+        JOIN lcut USING (doc_id)
     """
 
     # IVF family: the CTE chain replays operators.ann.kmeans_centroids +

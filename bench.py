@@ -152,6 +152,7 @@ BENCH_QUERY_NAMES = [
     "lm_score",  # corpus-trained add-one bigram LM perplexity, micro fixed-point (round 6)
     "bpe_merges",  # distributed BPE merge training, 8 rounds over the vocab table (round 6)
     "dsir_weights",  # DSIR hashed-ngram importance weights + keep rule (round 6)
+    "dup_line_cut",  # RefinedWeb corpus-wide duplicate-line removal (round 6)
 ]
 
 

@@ -571,6 +571,63 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """-> (doc_id, clean_text, n_lines_removed): corpus-wide exact LINE
+    dedup (the RefinedWeb/Falcon curation step — boilerplate lines like
+    nav bars and cookie banners repeat across pages): every line whose
+    space-trimmed form occurs >= ``min_count`` times ANYWHERE in the
+    corpus is removed from every document; blank lines are never counted
+    and never removed; survivors re-join with newlines in original order.
+    The line-granularity sibling of ``remove_duplicate_spans`` (token
+    spans) and ``dedup_exact`` (whole docs).
+
+    Scale shape: one line explode feeds the corpus key count (hash agg,
+    map-side combine) and the probe; removal is a left-anti equi-join on
+    the trimmed key; per-doc reassembly is an order-pinned collect_list
+    bounded by the document's own line count."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("key", F.trim("line"))
+    dup = (
+        lines.filter(F.col("key") != "")
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("key")
+    )
+    kept = (
+        lines.join(dup, "key", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_total"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:

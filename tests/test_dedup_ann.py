@@ -617,6 +617,29 @@ def test_dup_line_and_para_fractions(spark):
     assert got[3] == (0.0, 0.0)
 
 
+def test_remove_duplicate_lines_corpus_wide(spark):
+    """remove_duplicate_lines drops every line whose trimmed form repeats
+    corpus-wide (cross-doc or within one doc), never touches blank lines,
+    and keeps survivors in order."""
+    from robosat_spark.operators.dedup import remove_duplicate_lines
+
+    rows = [
+        (1, "keep me\nCookie banner\nunique line one"),
+        (2, "Cookie banner\nother text"),
+        (3, "  Cookie banner  \nmore"),  # trimmed key still matches
+        (4, "\n\n"),  # three blank lines: never counted, never removed
+        (5, "self\nself"),  # within-doc repetition counts too
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["clean_text"], r["n_lines_removed"])
+           for r in remove_duplicate_lines(docs).collect()}
+    assert got[1] == ("keep me\nunique line one", 1)
+    assert got[2] == ("other text", 1)
+    assert got[3] == ("more", 1)
+    assert got[4] == ("\n\n", 0)
+    assert got[5] == ("", 2)
+
+
 def test_remove_duplicate_spans_cuts_all_occurrences(spark):
     """remove_duplicate_spans cuts every covered token in every doc (the
     Lee-et-al. tool's behavior), keeps survivors in order, and reports
