@@ -17,11 +17,13 @@ MICRO-units before any sum (the lm.py / PageRank fixed-point
 discipline), so per-doc aggregates are order-independent integer
 arithmetic and the DuckDB twin matches bit-for-bit.
 
-Scale shape: one feature explode feeds the per-doc probe and both bucket
-count tables (hash aggs with map-side combine; the bucket tables are
-``n_buckets``-bounded, so their joins broadcast); the (T, S) totals
-attach as 1-row broadcast hash joins on data-derived pmod keys (a lit
-key would constant-fold into the BNLJ cross the plan guard forbids).
+Scale shape: the feature explode is consumed twice — once by a SINGLE
+conditional aggregation that produces BOTH distributions (source count +
+target count per bucket in one map-side-combined pass) and once by the
+per-doc probe; the bucket table is ``n_buckets``-bounded so its joins
+broadcast, and the (T, S) totals attach as a 1-row broadcast hash join
+on a data-derived pmod key (a lit key would constant-fold into the BNLJ
+cross the plan guard forbids).
 Every bucket a document can probe appears in the source table by
 construction (the source is the whole corpus), so the probe join is an
 inner equi-join with no miss path.
@@ -75,17 +77,22 @@ def dsir_weights(
         _feat_buckets(F.col(text_col), n_buckets).alias("bks"),
     )
     fb = base.select("doc_id", "is_target", F.explode("bks").alias("b"))
-    src = fb.groupBy("b").agg(F.count("*").alias("s_b"))
-    tgt = fb.filter("is_target").groupBy("b").agg(F.count("*").alias("t_b"))
-    s_tot = src.agg(F.sum("s_b").alias("s_total"))
-    t_tot = tgt.agg(F.coalesce(F.sum("t_b"), F.lit(0)).alias("t_total"))
-    _k = lambda c: F.pmod(F.hash(c), F.lit(1))
+    # ONE conditional aggregation produces both distributions (a separate
+    # filtered agg would make Catalyst replay the corpus-scale feature
+    # explode a second time for the target side — plan-audited)
+    counts = fb.groupBy("b").agg(
+        F.count("*").alias("s_b"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_b"),
+    )
+    # (S, T) totals as a constant-partition window over the B-row counts
+    # table (≤ n_buckets rows in one partition — cheap by construction); a
+    # counts.agg() + re-join would replay the corpus explode a third time
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy(F.lit(0))
     delta = (
-        src.join(tgt, "b", "left")
-        .withColumn("t_b", F.coalesce("t_b", F.lit(0)))
-        .withColumn("__k", _k(F.col("b")))
-        .join(F.broadcast(s_tot.withColumn("__k", _k(F.col("s_total")))), "__k")
-        .join(F.broadcast(t_tot.withColumn("__k", _k(F.col("t_total")))), "__k")
+        counts.withColumn("s_total", F.sum("s_b").over(w_all))
+        .withColumn("t_total", F.sum("t_b").over(w_all))
         .select(
             "b",
             F.round(

@@ -67,7 +67,13 @@ def bigram_lm_scores(
         "doc_id", "p.w1", "p.w2"
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # context counts as a window over the vocab²-bounded c12 table — a
+    # groupBy-then-join on c12 would make Catalyst recompute the whole
+    # corpus explode a second time for the same numbers (plan-audited);
+    # the window shuffles only the small count table
+    from pyspark.sql.window import Window
+
+    c1 = F.sum("c12").over(Window.partitionBy("w1"))
     vocab = base.select(F.explode("toks").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
@@ -75,7 +81,7 @@ def bigram_lm_scores(
     # join (see relevance.bm25_scores for the lit-key anti-fold rationale)
     _k = lambda c: F.pmod(F.hash(c), F.lit(1))
     lp = (
-        c12.join(c1, "w1")
+        c12.withColumn("c1", c1)
         .withColumn("__k", _k(F.col("w1")))
         .join(F.broadcast(vocab.withColumn("__k", _k(F.col("v")))), "__k")
         .select(
