@@ -180,7 +180,7 @@ def test_gate_plans_have_no_pathological_joins(spark):
     qs = e.queries()
     for name in ["market_join", "semi_join", "url_curation", "pricing_summary",
                  "iceberg_deletes", "cms_tokens", "value_quantiles",
-                 "top_tokens", "fingerprint"]:
+                 "top_tokens", "fingerprint", "text_metrics", "sample_split"]:
         plan = qs[name](spark, "/root/testdata/sf0.001")._jdf.queryExecution(
         ).executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan, name
