@@ -2559,6 +2559,23 @@ def _q_top2gram(spark, sf_dir):
     return top_ngram_char_frac(_t(spark, sf_dir, "documents"), n=2)
 
 
+def _force_eval(fn):
+    """Bench-only wrapper: reduce a per-doc result to one row of column
+    hashes so `.count()` cannot shortcut. Catalyst ELIMINATES a left join
+    whose build side is unique on the key when only count() is observed —
+    per-doc operators ending in base⋈perdoc (lm_score, dsir_weights, the
+    span/line cut summaries) timed as a bare id scan (0.3 s) while their
+    real cost (seen inside the consolidated gates) was 3-10x that."""
+
+    def wrapped(spark, sf_dir):
+        df = fn(spark, sf_dir)
+        return df.agg(
+            *[F.sum(F.xxhash64(c)).alias(f"h{i}") for i, c in enumerate(df.columns)]
+        )
+
+    return wrapped
+
+
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Granular per-variant queries for bench.py: the consolidated driver
     gates union several plans, which would blur per-plan walls — the bench
@@ -2600,12 +2617,12 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact": _q_dedup_exact,
             "dedup_incremental": _q_dedup_incremental,
             "dup_spans": _q_dup_spans,
-            "dup_span_cut": _q_dup_span_cut,
+            "dup_span_cut": _force_eval(_q_dup_span_cut),
             "top2gram": _q_top2gram,
-            "lm_score": _q_lm_score,
+            "lm_score": _force_eval(_q_lm_score),
             "bpe_merges": _q_bpe_merges,
-            "dsir_weights": _q_dsir_weights,
-            "dup_line_cut": _q_dup_line_cut,
+            "dsir_weights": _force_eval(_q_dsir_weights),
+            "dup_line_cut": _force_eval(_q_dup_line_cut),
         }
     )
     return qs
