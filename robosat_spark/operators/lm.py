@@ -23,12 +23,17 @@ fixed-point discipline as the PageRank operator — and the DuckDB twin
 matches bit-for-bit. Only the final readout (one exp per doc, rounded to
 6 decimals) is floating point.
 
-Scale shape: one bigram explode feeds both the count table and the
-per-doc probe (hash aggs with map-side combine); the count tables are
-vocab²-bounded, joined back on equi-keys (AQE may broadcast them when
-small — never forced); V attaches as a 1-row broadcast hash join on a
-data-derived pmod key (a lit key would constant-fold the join into the
-BNLJ cross the repo's plan guard forbids). No driver collect anywhere.
+Scale shape: the bigram explode is evaluated twice — once into the
+count table, once into the per-doc probe (Catalyst replays lineage per
+consumer; a persist() would pin corpus-scale storage, so the operator
+accepts the second pass, same policy as dedup.duplicate_spans) — plus
+one token pass for the vocab size; context counts ride a window over
+the vocab²-bounded bigram-count table instead of a third corpus pass
+(plan-audited). Count tables join back on equi-keys (AQE may broadcast
+them when small — never forced); V attaches as a 1-row broadcast hash
+join on a data-derived pmod key (a lit key would constant-fold the
+join into the BNLJ cross the repo's plan guard forbids). No driver
+collect anywhere.
 """
 
 from __future__ import annotations
