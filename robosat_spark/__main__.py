@@ -469,6 +469,88 @@ def cmd_pack(spark, args):
           f"of {args.seq_tokens} tokens -> {args.out}")
 
 
+def cmd_cut(spark, args):
+    """Rewrite a documents parquet with corpus-wide duplicated content
+    removed: ``--granularity span`` cuts every duplicated word-k-gram
+    span (Lee et al. ExactSubstr), ``--granularity line`` every line
+    whose trimmed form repeats (RefinedWeb boilerplate). Writes
+    (doc_id, clean_text, n_removed); prints removal totals."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import remove_duplicate_lines, remove_duplicate_spans
+
+    docs = spark.read.parquet(args.docs)
+    if args.granularity == "span":
+        out = remove_duplicate_spans(
+            docs, id_col=args.id_col, text_col=args.text_col, k=args.k
+        ).withColumnRenamed("n_tokens_removed", "n_removed")
+    else:
+        out = remove_duplicate_lines(
+            docs, id_col=args.id_col, text_col=args.text_col
+        ).withColumnRenamed("n_lines_removed", "n_removed")
+    out.write.mode("overwrite").parquet(args.out)
+    done = spark.read.parquet(args.out)
+    n_docs, n_removed, n_touched = done.agg(
+        F.count("*"), F.sum("n_removed"), F.sum((F.col("n_removed") > 0).cast("int"))
+    ).first()
+    print(
+        f"cut[{args.granularity}]: {n_docs} docs, {n_removed} "
+        f"{'tokens' if args.granularity == 'span' else 'lines'} removed "
+        f"across {n_touched} docs -> {args.out}"
+    )
+
+
+def cmd_tokenizer(spark, args):
+    """Train BPE merges on a documents parquet: writes the merge table
+    (step, lhs, rhs, cnt) to ``--out`` and prints the corpus word/token
+    totals under the trained vocab."""
+    from .operators.bpe import bpe_corpus_tokens, bpe_train_with_vocab
+
+    docs = spark.read.parquet(args.docs)
+    merges, enc = bpe_train_with_vocab(
+        docs, n_merges=args.merges, id_col=args.id_col, text_col=args.text_col
+    )
+    merges.coalesce(1).write.mode("overwrite").parquet(args.out)
+    row = bpe_corpus_tokens(enc).first()
+    print(
+        f"tokenizer: {args.merges} merges -> {args.out}; corpus "
+        f"{row.n_words} words -> {row.n_tokens} tokens under the vocab"
+    )
+
+
+def cmd_score(spark, args):
+    """Per-doc quality scoring over a documents parquet: ``--mode lm``
+    writes bigram-LM perplexities (n_bigrams, lp_micro, ppl); ``--mode
+    dsir`` writes DSIR importance weights against the ``--target-lang``
+    slice (n_feats, logw_micro, selected) and prints the keep count."""
+    from pyspark.sql import functions as F
+
+    if args.mode == "lm":
+        from .operators.lm import bigram_lm_scores
+
+        out = bigram_lm_scores(
+            spark.read.parquet(args.docs), id_col=args.id_col, text_col=args.text_col
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        mean_ppl = spark.read.parquet(args.out).agg(F.round(F.avg("ppl"), 2)).first()[0]
+        print(f"score[lm]: mean perplexity {mean_ppl} -> {args.out}")
+    else:
+        from .operators.dsir import dsir_weights
+
+        out = dsir_weights(
+            spark.read.parquet(args.docs),
+            F.col("lang") == args.target_lang,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        n, sel = spark.read.parquet(args.out).agg(
+            F.count("*"), F.sum(F.col("selected").cast("int"))
+        ).first()
+        print(f"score[dsir]: {sel}/{n} docs selected (target lang "
+              f"{args.target_lang}) -> {args.out}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="robosat_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -594,6 +676,29 @@ def build_parser():
     pk.add_argument("--text-col", default="text")
     pk.add_argument("--id-col", default="doc_id")
     pk.set_defaults(func=cmd_pack)
+
+    ct = sub.add_parser("cut"); ct.add_argument("--docs", required=True)
+    ct.add_argument("--out", required=True)
+    ct.add_argument("--granularity", choices=["span", "line"], default="span")
+    ct.add_argument("--k", type=int, default=5)
+    ct.add_argument("--text-col", default="text")
+    ct.add_argument("--id-col", default="doc_id")
+    ct.set_defaults(func=cmd_cut)
+
+    tk = sub.add_parser("tokenizer"); tk.add_argument("--docs", required=True)
+    tk.add_argument("--out", required=True)
+    tk.add_argument("--merges", type=int, default=8)
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--id-col", default="doc_id")
+    tk.set_defaults(func=cmd_tokenizer)
+
+    sc = sub.add_parser("score"); sc.add_argument("--docs", required=True)
+    sc.add_argument("--out", required=True)
+    sc.add_argument("--mode", choices=["lm", "dsir"], default="lm")
+    sc.add_argument("--target-lang", default="en")
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.set_defaults(func=cmd_score)
     return p
 
 

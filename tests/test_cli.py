@@ -418,3 +418,48 @@ def test_cli_pack(spark, tmp_path, capsys):
     a = sorted(tuple(r) for r in got.select("doc_id", "chunk_idx", "tok_offset").collect())
     b = sorted(tuple(r) for r in want.select("doc_id", "chunk_idx", "tok_offset").collect())
     assert a == b and len(a) > 0
+
+
+def test_cli_cut_tokenizer_score(spark, tmp_path, capsys):
+    """The round-6 curation verbs end-to-end over files: cut (span + line),
+    tokenizer (BPE merges), score (lm + dsir)."""
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+
+    out = str(tmp_path / "cut_span")
+    main(["cut", "--docs", docs_path, "--out", out], spark=spark)
+    assert "cut[span]:" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert {"doc_id", "clean_text", "n_removed"} == set(got.columns)
+    assert got.count() == spark.read.parquet(docs_path).count()
+
+    out = str(tmp_path / "cut_line")
+    main(["cut", "--docs", docs_path, "--out", out, "--granularity", "line"],
+         spark=spark)
+    assert "cut[line]:" in capsys.readouterr().out
+
+    out = str(tmp_path / "merges")
+    main(["tokenizer", "--docs", docs_path, "--out", out, "--merges", "4"],
+         spark=spark)
+    msg = capsys.readouterr().out
+    assert "4 merges" in msg and "tokens under the vocab" in msg
+    merges = spark.read.parquet(out)
+    assert merges.count() == 4
+    from robosat_spark.operators.bpe import bpe_train
+
+    want = sorted(tuple(r) for r in bpe_train(
+        spark.read.parquet(docs_path), n_merges=4).collect())
+    assert sorted(tuple(r) for r in merges.collect()) == want
+
+    out = str(tmp_path / "lm")
+    main(["score", "--docs", docs_path, "--out", out], spark=spark)
+    assert "score[lm]: mean perplexity" in capsys.readouterr().out
+    assert {"doc_id", "n_bigrams", "lp_micro", "ppl"} == set(
+        spark.read.parquet(out).columns)
+
+    out = str(tmp_path / "dsir")
+    main(["score", "--docs", docs_path, "--out", out, "--mode", "dsir"],
+         spark=spark)
+    msg = capsys.readouterr().out
+    assert "score[dsir]:" in msg and "docs selected" in msg
+    sel = spark.read.parquet(out).filter("selected").count()
+    assert 0 < sel < 500
