@@ -2560,18 +2560,21 @@ def _q_top2gram(spark, sf_dir):
 
 
 def _force_eval(fn):
-    """Bench-only wrapper: reduce a per-doc result to one row of column
-    hashes so `.count()` cannot shortcut. Catalyst ELIMINATES a left join
-    whose build side is unique on the key when only count() is observed —
-    per-doc operators ending in base⋈perdoc (lm_score, dsir_weights, the
-    span/line cut summaries) timed as a bare id scan (0.3 s) while their
-    real cost (seen inside the consolidated gates) was 3-10x that."""
+    """Bench-only wrapper: reduce a per-doc result to ≤64 hash-bucket
+    count rows so `.count()` must evaluate every column of every row.
+    Catalyst defeats weaker forms: it ELIMINATES a unique-key left join
+    under count() (per-doc operators ending in base⋈perdoc timed as a
+    bare id scan), and under a GLOBAL agg it prunes the aggregate
+    expressions too because the cardinality is statically 1 (proven by an
+    ANSI overflow that only fired under collect(), never under the timed
+    count()). Grouping on a hash of all columns makes the row count
+    data-dependent, so nothing can be pruned."""
 
     def wrapped(spark, sf_dir):
         df = fn(spark, sf_dir)
-        return df.agg(
-            *[F.sum(F.xxhash64(c)).alias(f"h{i}") for i, c in enumerate(df.columns)]
-        )
+        return df.groupBy(
+            F.pmod(F.xxhash64(*df.columns), F.lit(64)).alias("g")
+        ).agg(F.count("*").alias("n"))
 
     return wrapped
 
