@@ -551,6 +551,32 @@ def cmd_score(spark, args):
               f"{args.target_lang}) -> {args.out}")
 
 
+def cmd_pipeline(spark, args):
+    """Run (or resume) the full curation DAG (plans/curation): quality
+    filter + PII redaction -> exact dedup -> line cut -> span cut ->
+    LM scoring -> curated release table -> packed training shards, each
+    stage checkpointed under --root with lineage metrics."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .plans.curation import curate_corpus
+
+    p = curate_corpus(
+        spark, args.docs, args.root,
+        min_quality=args.min_quality, seq_tokens=args.seq_tokens,
+    )
+    ran = [s for s, v in p.ran.items() if v]
+    n_cur = spark.read.parquet(os.path.join(args.root, "curated")).count()
+    n_seq = spark.read.parquet(os.path.join(args.root, "packed")).agg(
+        F.max("seq_last")
+    ).first()[0]
+    print(
+        f"pipeline: stages ran {ran or '[] (all resumed)'}; "
+        f"{n_cur} curated docs, {int(n_seq) + 1} packed sequences -> {args.root}"
+    )
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="robosat_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -699,6 +725,12 @@ def build_parser():
     sc.add_argument("--text-col", default="text")
     sc.add_argument("--id-col", default="doc_id")
     sc.set_defaults(func=cmd_score)
+
+    pl = sub.add_parser("pipeline"); pl.add_argument("--docs", required=True)
+    pl.add_argument("--root", required=True)
+    pl.add_argument("--min-quality", type=float, default=0.3)
+    pl.add_argument("--seq-tokens", type=int, default=256)
+    pl.set_defaults(func=cmd_pipeline)
     return p
 
 

@@ -463,3 +463,15 @@ def test_cli_cut_tokenizer_score(spark, tmp_path, capsys):
     assert "score[dsir]:" in msg and "docs selected" in msg
     sel = spark.read.parquet(out).filter("selected").count()
     assert 0 < sel < 500
+
+
+def test_cli_pipeline(spark, tmp_path, capsys):
+    """The curation-DAG verb runs end-to-end then resumes idempotently."""
+    root = str(tmp_path / "pipe")
+    main(["pipeline", "--docs", "/root/testdata/sf0.001/documents.parquet",
+          "--root", root], spark=spark)
+    msg = capsys.readouterr().out
+    assert "pipeline: stages ran" in msg and "curated docs" in msg
+    main(["pipeline", "--docs", "/root/testdata/sf0.001/documents.parquet",
+          "--root", root], spark=spark)
+    assert "(all resumed)" in capsys.readouterr().out
