@@ -551,6 +551,28 @@ def cmd_score(spark, args):
               f"{args.target_lang}) -> {args.out}")
 
 
+def cmd_extract(spark, args):
+    """Extract a documents table from WARC/WET crawl archives
+    (sources/warc) — the webtext analog of the reference's `rs extract`
+    over OSM PBF. Writes (doc_id, text, url, fetch_date, n_chars)."""
+    from pyspark.sql import functions as F
+
+    from .sources.warc import documents_from_wet, warc_records
+
+    if args.kind == "wet":
+        out = documents_from_wet(spark, args.archives)
+    else:
+        out = warc_records(spark, args.archives)
+    out.write.mode("overwrite").parquet(args.out)
+    done = spark.read.parquet(args.out)
+    n = done.count()
+    kinds = ""
+    if args.kind == "records":
+        top = done.groupBy("warc_type").count().orderBy(F.desc("count")).first()
+        kinds = f" (top type: {top['warc_type']} x{top['count']})"
+    print(f"extract[{args.kind}]: {n} rows{kinds} -> {args.out}")
+
+
 def cmd_pipeline(spark, args):
     """Run (or resume) the full curation DAG (plans/curation): quality
     filter + PII redaction -> exact dedup -> line cut -> span cut ->
@@ -731,6 +753,11 @@ def build_parser():
     pl.add_argument("--min-quality", type=float, default=0.3)
     pl.add_argument("--seq-tokens", type=int, default=256)
     pl.set_defaults(func=cmd_pipeline)
+
+    ex = sub.add_parser("extract"); ex.add_argument("--archives", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--kind", choices=["wet", "records"], default="wet")
+    ex.set_defaults(func=cmd_extract)
     return p
 
 

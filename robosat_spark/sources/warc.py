@@ -1,0 +1,184 @@
+"""WARC / WET crawl-archive source (ISO 28500, the Common-Crawl format).
+
+The webtext analog of the reference's OSM-PBF extraction
+(/root/reference/robosat/tools/extract.py): the raw crawl arrives as
+WARC files (HTTP records) or WET files (plain-text conversion records),
+and the engine turns them into the ``documents`` table every text
+operator runs on.
+
+Format (public spec): a WARC file is a sequence of records — a CRLF
+header block (``WARC/1.0`` version line + ``Name: value`` headers, blank
+line terminated) followed by exactly ``Content-Length`` payload bytes and
+two CRLFs. A ``.warc.gz`` is a sequence of independent GZIP MEMBERS
+(conventionally one record per member) so a reader can split work without
+decompressing the whole file; stdlib zlib handles each member
+(``decompressobj(wbits=31)`` + ``unused_data`` to find the next member).
+
+Scale shape: Spark's binaryFile source lists the archive files
+(Common-Crawl standard: ~1 GB each, ~100k per crawl), and parsing fans
+out via ``mapInPandas`` — one Python task per file batch, records
+emitted as Arrow batches. Per-file memory is bounded by the largest
+single record, not the archive (members decompress one at a time); the
+1-file-per-task granularity is the same parallelism unit Common Crawl's
+own tooling uses. No shuffle anywhere — parsing is embarrassingly
+parallel, and downstream operators decide the partitioning.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = (
+    "path STRING, record_id STRING, warc_type STRING, target_uri STRING, "
+    "warc_date STRING, content_type STRING, content_length LONG, payload BINARY"
+)
+
+
+def _iter_gzip_members(blob: bytes) -> Iterator[bytes]:
+    """Decompress a multi-member gzip stream one member at a time."""
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(blob[pos:])
+        out += d.flush()
+        yield out
+        consumed = (len(blob) - pos) - len(d.unused_data)
+        if consumed <= 0:  # pragma: no cover - corrupt stream guard
+            break
+        pos += consumed
+
+
+def _parse_records(raw: bytes) -> Iterator[dict]:
+    """Parse consecutive WARC records out of an uncompressed byte run.
+    Tolerates LF-only header lines (some writers); stops cleanly at a
+    truncated trailing record rather than erroring the task."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and raw[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            return
+        head_end = raw.find(b"\r\n\r\n", pos)
+        sep = 4
+        lf_end = raw.find(b"\n\n", pos)
+        if head_end == -1 or (lf_end != -1 and lf_end < head_end):
+            head_end, sep = lf_end, 2
+        if head_end == -1:
+            return  # truncated header
+        head = raw[pos:head_end].decode("utf-8", errors="replace")
+        lines = head.replace("\r\n", "\n").split("\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            return  # not a record boundary — stop rather than misparse
+        hdr = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                hdr[k.strip().lower()] = v.strip()
+        try:
+            length = int(hdr.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = head_end + sep
+        if body_start + length > n:
+            return  # truncated payload
+        yield {
+            "record_id": hdr.get("warc-record-id", ""),
+            "warc_type": hdr.get("warc-type", ""),
+            "target_uri": hdr.get("warc-target-uri", ""),
+            "warc_date": hdr.get("warc-date", ""),
+            "content_type": hdr.get("content-type", ""),
+            "content_length": length,
+            "payload": raw[body_start : body_start + length],
+        }
+        pos = body_start + length
+
+
+def _iter_file(path: str, blob: bytes) -> Iterator[dict]:
+    if blob[:2] == b"\x1f\x8b":
+        for member in _iter_gzip_members(blob):
+            for rec in _parse_records(member):
+                yield {"path": path, **rec}
+    else:
+        for rec in _parse_records(blob):
+            yield {"path": path, **rec}
+
+
+def warc_records(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Scan WARC / WARC.GZ files into one row per record (WARC_SCHEMA).
+    Parsing runs executor-side via mapInPandas over the binaryFile
+    listing — one archive file per task, Arrow-batched output."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                rows.extend(_iter_file(path, bytes(blob)))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "record_id", "warc_type", "target_uri",
+                         "warc_date", "content_type", "content_length", "payload"],
+            )
+
+    return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
+
+
+def documents_from_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WET conversion records -> the engine's documents shape:
+    (doc_id, text, url, fetch_date, n_chars). doc_id is the xxhash64 of
+    (target_uri, warc_date) — deterministic on any cluster size/rerun,
+    unlike a monotonic id."""
+    recs = warc_records(spark, path_glob).filter(F.col("warc_type") == "conversion")
+    text = F.decode(F.col("payload"), "UTF-8")
+    return recs.select(
+        F.xxhash64("target_uri", "warc_date").alias("doc_id"),
+        text.alias("text"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetch_date"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+# ------------------------------------------------------------------ writer
+
+
+def warc_bytes(records: list[dict], version: str = "WARC/1.0") -> bytes:
+    """Serialize records (dicts with warc_type/record_id/target_uri/
+    warc_date/content_type/payload) to spec-shaped WARC bytes — the
+    fixture writer for tests and the sink for re-exporting curated
+    corpora back into crawl tooling."""
+    out = bytearray()
+    for r in records:
+        payload = r.get("payload", b"")
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        headers = [
+            ("WARC-Type", r.get("warc_type", "resource")),
+            ("WARC-Record-ID", r.get("record_id", "<urn:uuid:0>")),
+            ("WARC-Date", r.get("warc_date", "2026-01-01T00:00:00Z")),
+            ("WARC-Target-URI", r.get("target_uri", "")),
+            ("Content-Type", r.get("content_type", "text/plain")),
+            ("Content-Length", str(len(payload))),
+        ]
+        out += (version + "\r\n").encode()
+        for k, v in headers:
+            if v:
+                out += f"{k}: {v}\r\n".encode()
+        out += b"\r\n" + payload + b"\r\n\r\n"
+    return bytes(out)
+
+
+def gzip_members_bytes(records: list[dict]) -> bytes:
+    """One gzip member per record — the .warc.gz convention that keeps
+    archives splittable record-by-record."""
+    import gzip
+
+    return b"".join(gzip.compress(warc_bytes([r])) for r in records)

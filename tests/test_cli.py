@@ -475,3 +475,20 @@ def test_cli_pipeline(spark, tmp_path, capsys):
     main(["pipeline", "--docs", "/root/testdata/sf0.001/documents.parquet",
           "--root", root], spark=spark)
     assert "(all resumed)" in capsys.readouterr().out
+
+
+def test_cli_extract_wet(spark, tmp_path, capsys):
+    from robosat_spark.sources.warc import gzip_members_bytes
+
+    recs = [{"warc_type": "conversion", "record_id": f"<urn:uuid:{i}>",
+             "target_uri": f"https://ex.com/{i}", "warc_date": "2026-08-18T00:00:00Z",
+             "content_type": "text/plain", "payload": f"document body {i} words here"}
+            for i in range(3)]
+    (tmp_path / "crawl.warc.gz").write_bytes(gzip_members_bytes(recs))
+    out = str(tmp_path / "docs")
+    main(["extract", "--archives", str(tmp_path / "crawl.warc.gz"), "--out", out],
+         spark=spark)
+    assert "extract[wet]: 3 rows" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {"doc_id", "text", "url", "fetch_date", "n_chars"} == set(got.columns)
