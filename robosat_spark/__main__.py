@@ -587,6 +587,7 @@ def cmd_pipeline(spark, args):
     p = curate_corpus(
         spark, args.docs, args.root,
         min_quality=args.min_quality, seq_tokens=args.seq_tokens,
+        input_kind=args.input_kind,
     )
     ran = [s for s, v in p.ran.items() if v]
     n_cur = spark.read.parquet(os.path.join(args.root, "curated")).count()
@@ -752,6 +753,7 @@ def build_parser():
     pl.add_argument("--root", required=True)
     pl.add_argument("--min-quality", type=float, default=0.3)
     pl.add_argument("--seq-tokens", type=int, default=256)
+    pl.add_argument("--input-kind", choices=["parquet", "wet"], default="parquet")
     pl.set_defaults(func=cmd_pipeline)
 
     ex = sub.add_parser("extract"); ex.add_argument("--archives", required=True)

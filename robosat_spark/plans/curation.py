@@ -44,10 +44,14 @@ def curate_corpus(
     chunk_tokens: int = 64,
     overlap: int = 16,
     seq_tokens: int = 256,
+    input_kind: str = "parquet",
 ) -> Pipeline:
     """Run (or resume) the curation DAG over ``docs_path`` rooted at
     ``root``; returns the Pipeline (stage outputs under ``root/<stage>``,
-    which-ran flags in ``.ran``, lineage in ``root/_metrics``)."""
+    which-ran flags in ``.ran``, lineage in ``root/_metrics``).
+    ``input_kind='wet'`` reads raw WARC/WET crawl archives instead of a
+    documents parquet — the whole crawl-to-training-shards flow in one
+    resumable run."""
     from ..functions.text import lang_id, quality_score, redact_pii
     from ..operators.chunking import chunk_documents, pack_chunks
     from ..operators.dedup import remove_duplicate_lines, remove_duplicate_spans
@@ -55,10 +59,17 @@ def curate_corpus(
 
     p = Pipeline(spark, root)
 
+    def _read():
+        if input_kind == "wet":
+            from ..sources.warc import documents_from_wet
+
+            return documents_from_wet(spark, docs_path)
+        return spark.read.parquet(docs_path)
+
     quality = p.stage(
         "quality",
         lambda: (
-            spark.read.parquet(docs_path)
+            _read()
             .select(
                 "doc_id",
                 redact_pii(F.col("text")).alias("text"),

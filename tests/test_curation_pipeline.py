@@ -71,3 +71,23 @@ def test_curation_pipeline_content_flows(spark, tmp_path):
     assert "COOKIE BANNER" not in cur[1].text and "rivers" in cur[1].text
     assert "COOKIE BANNER" not in cur[2].text and "mountains" in cur[2].text
     assert cur[1].n_lines_cut == 1 and cur[2].n_lines_cut == 1
+
+
+def test_curation_pipeline_from_raw_wet(spark, tmp_path):
+    """input_kind='wet': raw crawl archives -> curated table -> packed
+    shards in one resumable run."""
+    from robosat_spark.sources.warc import gzip_members_bytes
+
+    recs = [{"warc_type": "conversion", "record_id": f"<urn:uuid:{i}>",
+             "target_uri": f"https://site{i}.com/page", "warc_date": "2026-08-18T00:00:00Z",
+             "content_type": "text/plain",
+             "payload": f"the quick brown fox number {i} jumps over the lazy dog and "
+                        f"keeps running through the long meadow beyond the river"}
+            for i in range(4)]
+    (tmp_path / "crawl.warc.gz").write_bytes(gzip_members_bytes(recs))
+    p = curate_corpus(spark, str(tmp_path / "crawl.warc.gz"), str(tmp_path / "c"),
+                      min_quality=0.0, input_kind="wet")
+    assert all(p.ran.values())
+    cur = spark.read.parquet(str(tmp_path / "c") + "/curated")
+    assert cur.count() == 4 and "ppl" in cur.columns
+    assert spark.read.parquet(str(tmp_path / "c") + "/packed").count() > 0
