@@ -23,6 +23,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_fan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + scan-parallelism fixup (guide §2.5 input skew): the sf
+    tables are single-row-group parquet files, so their scans are ONE
+    task at any core count; queries whose map side is compute-heavy
+    (n-gram explodes, md5 hash families, per-pair vector folds) opt in
+    to a size-gated round-robin fan-out right after the read. Results
+    are identical (row-preserving exchange; every consumer is
+    order-independent); a production-scale input is returned untouched.
+    Opt-in per query rather than blanket in ``_t`` because the measured
+    exchange cost exceeds the win for scan->light-map->agg plans
+    (A/B at sf0.1: top2gram 3.1->0.8, minhash 3.0->1.7, but e.g.
+    lm_score/dup_line_cut regressed ~0.3 with a blanket fan-out)."""
+    from robosat_spark.sources.scan import fan_out_small_scan
+
+    path = f"{sf_dir}/{name}.parquet"
+    return fan_out_small_scan(spark, spark.read.parquet(path), path)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -676,7 +694,7 @@ def _q_dsir_weights(spark, sf_dir):
     through sample_split part='dsir'."""
     from robosat_spark.operators.dsir import dsir_weights
 
-    return dsir_weights(_t(spark, sf_dir, "documents"), F.col("lang") == "en")
+    return dsir_weights(_t_fan(spark, sf_dir, "documents"), F.col("lang") == "en")
 
 
 def _q_lang_confusion(spark, sf_dir):
@@ -685,7 +703,7 @@ def _q_lang_confusion(spark, sf_dir):
     lang-filtered training pipeline runs before trusting the filter."""
     from robosat_spark.functions.text import lang_id
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents")
     return (
         docs.select(F.col("lang").alias("true_lang"), lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("true_lang", "pred_lang")
@@ -704,7 +722,7 @@ def _q_knn_label_accuracy(spark, sf_dir):
     stage for ann_ivf (same vote/agg tail) and report recall alongside."""
     from robosat_spark.functions.vectors import cosine_sim
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fan(spark, sf_dir, "embeddings")
     base = emb.select(
         F.col("vec_id").alias("item_id"),
         F.col("embedding").cast("array<double>").alias("vec"),
@@ -742,7 +760,7 @@ def _q_ann_cosine(spark, sf_dir):
     baseline; JVM-side zip_with/aggregate arithmetic."""
     from robosat_spark.functions.vectors import cosine_sim
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fan(spark, sf_dir, "embeddings")
     base = emb.select(
         F.col("vec_id").alias("item_id"), F.col("embedding").cast("array<double>").alias("item_vec")
     )
@@ -806,7 +824,7 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     candidates, exact-Jaccard refine >= 0.3). Oracle = exact all-pairs."""
     from robosat_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, k=3, num_perm=32, threshold=0.3)
 
 
@@ -818,7 +836,7 @@ def _q_dedup_jaccard_prefix(spark, sf_dir):
     on the prefix), with no data-gap contingency."""
     from robosat_spark.operators.dedup import jaccard_prefix_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents")
     return jaccard_prefix_pairs(docs, k=3, threshold=0.6)
 
 
@@ -838,7 +856,7 @@ def _q_dedup_clusters(spark, sf_dir):
     from robosat_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, k=3, num_perm=32, threshold=0.3)
+    pairs = minhash_lsh_pairs(_t_fan(spark, sf_dir, "documents"), k=3, num_perm=32, threshold=0.3)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     self_loops = docs.select(
         F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
@@ -872,7 +890,7 @@ def _q_ann_ivf(spark, sf_dir):
     verified bit-exact), so the quantizer itself is value-checked."""
     from robosat_spark.operators.ann import ann_ivf
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fan(spark, sf_dir, "embeddings")
     base = emb.select(
         F.col("vec_id").alias("item_id"), F.col("embedding").cast("array<double>").alias("vec")
     )
@@ -919,7 +937,7 @@ def _q_cms_tokens(spark, sf_dir):
         cms_estimate,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents")
     # NOT cached: the five tagged branches re-derive the explode, but a
     # measured A/B at sf0.1 put .cache() ~8% SLOWER (materialization +
     # memory-store overhead exceeds the recompute of a cheap codegen
@@ -977,7 +995,7 @@ def _q_knn_label_accuracy_ivf(spark, sf_dir):
     votes, and recall)."""
     from robosat_spark.operators.ann import ann_ivf
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fan(spark, sf_dir, "embeddings")
     base = emb.select(
         F.col("vec_id").alias("item_id"),
         F.col("embedding").cast("array<double>").alias("vec"),
@@ -1216,7 +1234,7 @@ def _q_top_tokens_all(spark, sf_dir):
     )
     from robosat_spark.operators.bpe import bpe_corpus_tokens, bpe_train_with_vocab
 
-    merges_df, enc = bpe_train_with_vocab(_t(spark, sf_dir, "documents"), n_merges=8)
+    merges_df, enc = bpe_train_with_vocab(_t_fan(spark, sf_dir, "documents"), n_merges=8)
     bpe = merges_df.select(
         F.lit("bpe").alias("part"),
         F.concat_ws(" ", "lhs", "rhs").alias("token"),
@@ -1245,7 +1263,7 @@ def _q_bpe_merges(spark, sf_dir):
     gate (token = 'lhs rhs'); granular bench variant bpe_merges."""
     from robosat_spark.operators.bpe import bpe_train
 
-    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+    return bpe_train(_t_fan(spark, sf_dir, "documents"), n_merges=8)
 
 
 def _q_doc_fingerprint_rolling(spark, sf_dir):
@@ -1703,7 +1721,7 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
     keeps the exact semantics at oracle scale."""
     from robosat_spark.operators.ann import lsh_neardup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fan(spark, sf_dir, "embeddings")
     v = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1718,7 +1736,7 @@ def _q_dedup_simhash_pairs(spark, sf_dir):
     anywhere (asserted in tests/test_dedup_ann.py)."""
     from robosat_spark.operators.dedup import simhash_pairs_banded
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents")
     return simhash_pairs_banded(docs, bits=32, max_hd=2)
 
 
@@ -1909,7 +1927,7 @@ def _q_dup_span_cut(spark, sf_dir):
     space-normalized text with n_cut = 0)."""
     from robosat_spark.operators.dedup import remove_duplicate_spans
 
-    out = remove_duplicate_spans(_t(spark, sf_dir, "documents"), k=5)
+    out = remove_duplicate_spans(_t_fan(spark, sf_dir, "documents"), k=5)
     return out.select(
         "doc_id",
         F.conv(F.substring(F.md5("clean_text"), 1, 12), 16, 10).cast("long").alias(
@@ -2040,10 +2058,11 @@ def _q_text_metrics(spark, sf_dir):
         pii_email_count(F.col("text")).alias("n_pii_emails"),
         pii_ipv4_count(F.col("text")).alias("n_pii_ips"),
     )
-    top2 = top_ngram_char_frac(docs, n=2).select(
+    docs_fan = _t_fan(spark, sf_dir, "documents")  # heavy corpus-level branches
+    top2 = top_ngram_char_frac(docs_fan, n=2).select(
         "doc_id", F.col("top_frac").alias("top2gram_char_frac")
     )
-    spans = duplicate_spans(docs, k=5)
+    spans = duplicate_spans(docs_fan, k=5)
     return (
         base.join(top2, "doc_id", "left")
         .join(spans, "doc_id", "left")
@@ -2358,7 +2377,7 @@ def _q_contamination(spark, sf_dir):
     shingles broadcast, explode + broadcast semi-join + count."""
     from robosat_spark.operators.dedup import benchmark_overlap
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     return benchmark_overlap(docs, bench, k=3)
 
@@ -2549,14 +2568,14 @@ def _q_dup_spans(spark, sf_dir):
     corpus-level stage of the extended text_metrics gate)."""
     from robosat_spark.operators.dedup import duplicate_spans
 
-    return duplicate_spans(_t(spark, sf_dir, "documents"), k=5)
+    return duplicate_spans(_t_fan(spark, sf_dir, "documents"), k=5)
 
 
 def _q_top2gram(spark, sf_dir):
     """Bench variant: Gopher top-2-gram char fraction alone."""
     from robosat_spark.operators.dedup import top_ngram_char_frac
 
-    return top_ngram_char_frac(_t(spark, sf_dir, "documents"), n=2)
+    return top_ngram_char_frac(_t_fan(spark, sf_dir, "documents"), n=2)
 
 
 def _force_eval(fn):

@@ -69,6 +69,22 @@ def lsh_neardup_pairs(
     )
 
 
+def _argmax_centroid(scored: DataFrame) -> DataFrame:
+    """(item_id, vec, centroid_id, csim) -> the max-csim centroid per
+    item (ties -> lowest centroid id), as a map-side-combinable
+    ``min_by`` hash aggregation on the (-csim, centroid_id) order key —
+    replaces a row_number sort window with identical deterministic
+    output (csim is pre-rounded, so (csim, centroid_id) is unique)."""
+    return scored.groupBy("item_id").agg(
+        F.min_by(
+            F.struct("vec", "centroid_id"),
+            F.struct((-F.col("csim")).alias("nc"), F.col("centroid_id").alias("c")),
+        ).alias("t")
+    ).select(
+        "item_id", F.col("t.vec").alias("vec"), F.col("t.centroid_id").alias("centroid_id")
+    )
+
+
 def kmeans_centroids(
     base: DataFrame,
     n_centroids: int = 16,
@@ -112,14 +128,13 @@ def kmeans_centroids(
         scored = train.crossJoin(F.broadcast(cents)).withColumn(
             "csim", F.round(cosine_sim(F.col("vec"), F.col("cvec")), 9)
         )
-        w = Window.partitionBy("item_id").orderBy(
-            F.col("csim").desc(), F.col("centroid_id").asc()
-        )
-        asg = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("item_id", "vec", "centroid_id")
-        )
+        # argmax centroid per item as a min_by hash aggregation on the
+        # (-csim, centroid_id) order key (r7, guide §2.3): map-side
+        # combinable, no sort window over the n_items x n_centroids
+        # scored rows; the argmin is the same deterministic winner the
+        # old row_number pick made (csim rounded to 9 first, ties ->
+        # lowest centroid id — (csim, centroid_id) is unique per item)
+        asg = _argmax_centroid(scored)
         lst = F.sort_array(F.collect_list(F.struct("item_id", "vec")))
         summed = F.aggregate(
             F.slice(lst, 2, F.size(lst) - 1),
@@ -169,12 +184,8 @@ def ivf_assign(
     scored = base.crossJoin(F.broadcast(centroids)).withColumn(
         "csim", F.round(cosine_sim(F.col("vec"), F.col("cvec")), 9)
     )
-    w = Window.partitionBy("item_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("item_id", "vec", "centroid_id")
-    )
+    # same min_by argmax as the k-means assignment step (see _argmax_centroid)
+    assigned = _argmax_centroid(scored)
     return centroids, assigned
 
 

@@ -26,11 +26,39 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     (b) a pointer-doubling shortcut (label := label of my label), so label
     information travels 2^k hops after k rounds — O(log n) rounds even on
     adversarial path graphs, where plain one-hop propagation needs
-    O(diameter) rounds (the SURVEY §7 convergence hazard)."""
-    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    O(diameter) rounds (the SURVEY §7 convergence hazard).
+
+    r7 plan trims (guide §2.3/§2.4): the symmetrization is a single
+    explode pass over the edge lineage (the old two-branch union scanned
+    — and computed — the upstream edge pipeline twice inside one job),
+    and the fixpoint test is a join-free aggregate: labels only ever
+    DECREASE under min-propagation, so the label sum (DECIMAL(38) — no
+    wraparound at any node-id scale) strictly decreases iff any label
+    changed; comparing one scalar per round replaces the old
+    labels⋈new_labels shuffle join."""
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                    F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .distinct()
+    )
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
 
+    def label_sum(df):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    # initial sum (identity labels — a cheap distinct over the pinned
+    # edge set) so a first round that moves nothing already terminates
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         # (a) candidate labels: own label + each neighbor's label
         nbr = (
@@ -56,16 +84,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        # fixpoint test: any node whose label changed this round?
-        changed = (
-            labels.withColumnRenamed("component", "old")
-            .join(new_labels, "node")
-            .filter(F.col("old") != F.col("component"))
-            .limit(1)
-            .count()
-        )
+        # fixpoint: the monotone label sum is unchanged -> no label moved
+        new_sum = label_sum(new_labels)
+        changed = new_sum != prev_sum
+        prev_sum = new_sum
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     return labels
 

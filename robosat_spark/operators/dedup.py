@@ -474,9 +474,13 @@ def top_ngram_char_frac(
 
     Scale shape: explode n-grams (linear in corpus tokens) -> per-(doc,
     gram) count (hash agg with map-side combine) -> per-doc top-1 via a
-    row_number window partitioned by doc_id. Texts shorter than n words
-    count their whole text as the single gram (frac 1.0 for non-blank) —
-    same short-text convention as ``word_ngrams``."""
+    ``min_by`` hash aggregation on the (-count, gram) order key — a
+    second map-side-combinable hash agg instead of the former
+    row_number sort window (one sort removed; the deterministic argmin
+    is identical because (count, gram) is unique per doc). Texts
+    shorter than n words count their whole text as the single gram
+    (frac 1.0 for non-blank) — same short-text convention as
+    ``word_ngrams``."""
     nonws = F.length(F.regexp_replace(F.col(text_col), r"[ \t\n\r\f\x0B]", ""))
     g = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -484,11 +488,14 @@ def top_ngram_char_frac(
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
     counts = g.groupBy("doc_id", "nonws", "gram").agg(F.count("*").alias("top_cnt"))
-    win = Window.partitionBy("doc_id").orderBy(F.desc("top_cnt"), F.asc("gram"))
+    top = counts.groupBy("doc_id", "nonws").agg(
+        F.min_by(
+            F.struct("gram", "top_cnt"),
+            F.struct((-F.col("top_cnt")).alias("nc"), F.col("gram").alias("g")),
+        ).alias("t")
+    ).select("doc_id", "nonws", F.col("t.gram").alias("gram"), F.col("t.top_cnt").alias("top_cnt"))
     return (
-        counts.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select(
+        top.select(
             "doc_id",
             F.col("gram").alias("top_gram"),
             "top_cnt",

@@ -54,14 +54,23 @@ def _tile_edge_lat(y: "F.Column", zoom: int) -> "F.Column":
     return F.degrees(F.atan(F.sinh(F.lit(math.pi) * (1.0 - 2.0 * y.cast("double") / F.lit(n)))))
 
 
-def estimate_centroid_bytes(features: DataFrame) -> int:
+def count_features(features: DataFrame) -> int:
+    """One tiny count on the (small) feature side — shared by the tail
+    strategy and the ring-round usefulness gates."""
+    return int(features.select(F.count("*").alias("n")).collect()[0]["n"] or 0)
+
+
+def estimate_centroid_bytes(features: DataFrame, n_features: int | None = None) -> int:
     """Rough broadcast size of the centroid table: one tiny count on the
     feature side (3 numeric cols + row overhead ≈ 48 B/feature)."""
-    return int(features.select(F.count("*").alias("n")).collect()[0]["n"] or 0) * 48
+    n = count_features(features) if n_features is None else n_features
+    return n * 48
 
 
 def choose_knn_tail_strategy(
-    features: DataFrame, max_broadcast_bytes: int = 64 << 20
+    features: DataFrame,
+    max_broadcast_bytes: int = 64 << 20,
+    n_features: int | None = None,
 ) -> str:
     """'broadcast' when the straggler tail's feature-centroid table fits
     the broadcast budget, else 'cartesian' (distributed nested-loop over
@@ -69,9 +78,32 @@ def choose_knn_tail_strategy(
     Separate from ``knn_cells`` so the decision is unit-testable."""
     return (
         "broadcast"
-        if estimate_centroid_bytes(features) <= max_broadcast_bytes
+        if estimate_centroid_bytes(features, n_features) <= max_broadcast_bytes
         else "cartesian"
     )
+
+
+def ring_rounds_useful(
+    n_features: int, zoom: int, k: int, tail_strategy: str, r: int = 1
+) -> bool:
+    """Should ``knn_cells`` run its cell-join ring rounds at all?
+
+    The ring rounds pay off only when a point's first (2r+1)² cell block
+    can be EXPECTED to hold >= k candidate centroids — below that, (a
+    priori, before scanning the big point side) almost no point can
+    satisfy ``n_cand >= k`` and every round is pure plan overhead ahead
+    of the same exact tail. Expected block occupancy under the uniform
+    bound is n_features * (2r+1)² / 4^zoom; when it is < k AND the tail
+    can broadcast (features fit the budget), the broadcast brute force
+    IS the optimal exact plan — the same strategy choice Catalyst makes
+    for equi-joins (guide §3.1), made here with spatial knowledge the
+    optimizer lacks. When the feature side is too big to broadcast the
+    rounds must run regardless (the cartesian tail would be O(P·F)).
+    Unit-testable, like ``choose_knn_tail_strategy``."""
+    if tail_strategy != "broadcast":
+        return True
+    exp_block = n_features * float((2 * r + 1) ** 2) / float(4**zoom)
+    return exp_block >= k
 
 
 def knn_cells(
@@ -98,8 +130,23 @@ def knn_cells(
     fall back to the exact broadcast brute force (they are few by then).
 
     Reference analog: exact spatial probes in robosat/spatial/core.py:80-100
-    (R-tree query + exact refine); the cell grid replaces the R-tree."""
+    (R-tree query + exact refine); the cell grid replaces the R-tree.
+
+    Strategy gate (r7, guide §3.1): the feature side is counted ONCE (a
+    tiny driver scalar, as before via the tail-strategy estimate); when
+    the expected ring-1 block occupancy is below k and the tail fits the
+    broadcast budget, the ring rounds are skipped outright — every point
+    goes through the exact broadcast tail, which is the plan a spatial
+    optimizer would pick for a sparse feature side at ANY corpus size
+    (results are identical by construction; forced-path equality is
+    unit-tested in test_knn_cells.py)."""
     n = 1 << zoom
+    n_feat = count_features(features)
+    tail_strategy = choose_knn_tail_strategy(
+        features, max_broadcast_bytes, n_features=n_feat
+    )
+    if not ring_rounds_useful(n_feat, zoom, k, tail_strategy):
+        max_doublings = 0
     cents = feature_centroids(features)
     cents = cents.withColumn("cx", tile_x(F.col("c_lon"), zoom)).withColumn(
         "cy", tile_y(F.col("c_lat"), zoom)
@@ -162,7 +209,7 @@ def knn_cells(
     # bounded and no executor has to hold the whole centroid table.
     tail = remaining.select("url", "lon", "lat")
     tail_cents = cents.select("feature_id", "c_lon", "c_lat")
-    if choose_knn_tail_strategy(features, max_broadcast_bytes) == "broadcast":
+    if tail_strategy == "broadcast":
         tail_cents = F.broadcast(tail_cents)
     tail_cand = tail.crossJoin(tail_cents).withColumn("d2", d2)
     wtail = Window.partitionBy("url").orderBy(F.col("d2").asc(), F.col("feature_id").asc())

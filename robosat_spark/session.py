@@ -39,4 +39,13 @@ def get_spark(app: str = "robosat_spark", cores: int | None = None, shuffle_part
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    # measurement aid (guide §1/§7): SPARK_GRAFT_EVENTLOG=<dir> writes the
+    # JSON event log so per-stage/job walls can be analyzed offline without
+    # the live UI. Off by default — zero effect on timed runs.
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", ev_dir
+        )
     return builder.getOrCreate()
