@@ -71,7 +71,7 @@ def pagerank(
         raise ValueError("damping d_num/d_den must lie in (0, 1)")
 
     spark = edges.sparkSession
-    n_part = shuffle_partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    conf_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -82,65 +82,82 @@ def pagerank(
     n = nodes.count()  # one metadata-scale scalar, outside the loop
     if n == 0:
         return nodes.withColumn("rank_ppb", F.lit(0).cast("long"))
+    # Scale-adaptive round partitioning (r7, guide §2.2/§2.5): every
+    # per-round exchange moves rank-vector-sized data (the map side
+    # combines per-edge contributions down to <= N rows per partition),
+    # so the right partition count follows N, not the session-wide
+    # constant — at the gate scale the old 2x-cores default spent more
+    # wall on scheduling ~1500 empty reduce tasks across 8 rounds than
+    # on ranks (measured 8-core walls BEAT 32-core walls). Dense graphs
+    # (E >> N) that need wider map stages can pass shuffle_partitions
+    # explicitly; the session conf stays the cap.
+    n_part = int(shuffle_partitions or max(1, min(conf_part, -(-n // 4096))))
 
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
-    # pin the big side's partitioning ONCE: every round's join meets it here
-    edges_deg = (
-        edges.join(outdeg, "src")
-        .repartition(int(n_part), "src")
-        .localCheckpoint(eager=True)
-    )
-    # the dangling-node SET is fixed across iterations — materialize it
-    # once (N-row scale). Deriving it per round from `outdeg` would drag
-    # the ORIGINAL edge lineage into every round's plan, i.e. one full
-    # re-scan of the 100 TB edge list per iteration just to re-learn
-    # which nodes have no out-edges.
-    dang_nodes = nodes.join(
-        outdeg, nodes["node"] == outdeg["src"], "left_anti"
-    ).localCheckpoint(eager=True)
+    # the loop materializes every round eagerly (checkpoints), so scoping
+    # the session's shuffle-partition conf to the loop pins each round's
+    # exchanges at n_part; restored before the lazy final round returns
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+        # pin the big side's partitioning ONCE: every round's join meets it
+        edges_deg = (
+            edges.join(outdeg, "src")
+            .repartition(n_part, "src")
+            .localCheckpoint(eager=True)
+        )
+        # the dangling-node SET is fixed across iterations — materialize it
+        # once (N-row scale). Deriving it per round from `outdeg` would drag
+        # the ORIGINAL edge lineage into every round's plan, i.e. one full
+        # re-scan of the 100 TB edge list per iteration just to re-learn
+        # which nodes have no out-edges.
+        dang_nodes = nodes.join(
+            outdeg, nodes["node"] == outdeg["src"], "left_anti"
+        ).localCheckpoint(eager=True)
 
-    base = ((d_den - d_num) * SCALE // n) // d_den
-    ranks = nodes.withColumn("rank_ppb", F.lit(SCALE // n).cast("long"))
+        base = ((d_den - d_num) * SCALE // n) // d_den
+        ranks = nodes.withColumn("rank_ppb", F.lit(SCALE // n).cast("long"))
 
-    for it in range(num_iters):
-        r = ranks.withColumnRenamed("node", "src")
-        # per-dst incoming sum: int64, exact, order-independent
-        insum = (
-            edges_deg.join(r, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_ppb DIV __deg").alias("__c"),
+        for it in range(num_iters):
+            r = ranks.withColumnRenamed("node", "src")
+            # per-dst incoming sum: int64, exact, order-independent
+            insum = (
+                edges_deg.join(r, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_ppb DIV __deg").alias("__c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("__c").alias("__insum"))
             )
-            .groupBy("node")
-            .agg(F.sum("__c").alias("__insum"))
-        )
-        # dangling mass = ranks of nodes with no out-edges (1-row, lazy;
-        # ranks x checkpointed N-row set — no big-side lineage)
-        dang = (
-            ranks.join(dang_nodes, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank_ppb"), F.lit(0)).alias("__dang"))
-            .withColumn("__j", _k(F.col("__dang")))
-        )
-        ranks = (
-            nodes.join(insum, "node", "left")
-            .withColumn("__j", _k(F.col("node")))
-            .join(F.broadcast(dang), "__j")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"CAST({d_num} AS BIGINT) * (coalesce(__insum, CAST(0 AS BIGINT))"
-                        f" + __dang DIV {n}) DIV {d_den}"
-                    )
-                ).cast("long").alias("rank_ppb"),
+            # dangling mass = ranks of nodes with no out-edges (1-row, lazy;
+            # ranks x checkpointed N-row set — no big-side lineage)
+            dang = (
+                ranks.join(dang_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank_ppb"), F.lit(0)).alias("__dang"))
+                .withColumn("__j", _k(F.col("__dang")))
             )
-        )
-        if it < num_iters - 1:
-            # truncate lineage so round k+1 never replays rounds 1..k;
-            # the LAST round stays lazy (one-round lineage) — the caller
-            # composes/inspects the plan without forcing an extra job
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = (
+                nodes.join(insum, "node", "left")
+                .withColumn("__j", _k(F.col("node")))
+                .join(F.broadcast(dang), "__j")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"CAST({d_num} AS BIGINT) * (coalesce(__insum, CAST(0 AS BIGINT))"
+                            f" + __dang DIV {n}) DIV {d_den}"
+                        )
+                    ).cast("long").alias("rank_ppb"),
+                )
+            )
+            if it < num_iters - 1:
+                # truncate lineage so round k+1 never replays rounds 1..k;
+                # the LAST round stays lazy (one-round lineage) — the caller
+                # composes/inspects the plan without forcing an extra job
+                ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_part))
     return ranks
 
 

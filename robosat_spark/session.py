@@ -48,4 +48,12 @@ def get_spark(app: str = "robosat_spark", cores: int | None = None, shuffle_part
         builder = builder.config("spark.eventLog.enabled", "true").config(
             "spark.eventLog.dir", ev_dir
         )
+    # deployment/experiment escape hatch: SPARK_GRAFT_SPARK_CONF="k=v;k=v"
+    # overlays arbitrary session confs (e.g. cluster-size-specific shuffle
+    # tuning) without editing code; empty by default so timed runs are
+    # byte-identical to the stock configuration.
+    extra = os.environ.get("SPARK_GRAFT_SPARK_CONF", "")
+    for kv in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
