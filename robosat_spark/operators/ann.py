@@ -57,6 +57,11 @@ def lsh_neardup_pairs(
     for p in parts[1:]:
         cand = cand.unionByName(p)
     cand = cand.distinct()
+    # wide exact refine (see dedup.jaccard_prefix_pairs: the per-pair
+    # cosine fold is compute-heavy/byte-light; AQE's byte-based
+    # coalescing would strand it on a handful of tasks)
+    n_ref = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_ref, "id_a", "id_b")
     va = vectors.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = vectors.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     out = (

@@ -177,6 +177,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
+    # wide exact refine (same rationale as jaccard_prefix_pairs: the
+    # per-pair array_intersect is compute-heavy/byte-light and AQE's
+    # byte-based coalescing would strand it on a handful of tasks)
+    n_ref = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_ref, "doc_a", "doc_b")
 
     pairs = (
         cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -257,6 +262,15 @@ def jaccard_prefix_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # the exact refine below is compute-heavy but byte-light (~50 us of
+    # array_intersect per pair over a 16-byte row), exactly the shape
+    # AQE's byte-based partition coalescing under-parallelizes (measured:
+    # the refine ran as 5 tasks on 32 cores and dominated the wall) — a
+    # deterministic hash repartition at the session's shuffle width keeps
+    # the refine as wide as the cluster at any candidate volume (r7,
+    # guide §2.5: AQE cannot see per-row compute cost)
+    n_ref = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_ref, "doc_a", "doc_b")
 
     pairs = (
         cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
