@@ -742,8 +742,13 @@ def _q_knn_label_accuracy(spark, sf_dir):
     votes = top.groupBy("query_id", "true_label", "item_label").agg(
         F.count("*").alias("v")
     )
-    wv = Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("item_label").asc())
-    pred = votes.withColumn("rv", F.row_number().over(wv)).filter(F.col("rv") == 1)
+    # top vote per query via min_by hash agg instead of a sort window
+    # (r7; identical deterministic winner — (v, item_label) unique)
+    pred = votes.groupBy("query_id", "true_label").agg(
+        F.min_by(
+            "item_label", F.struct((-F.col("v")).alias("nv"), F.col("item_label").alias("l"))
+        ).alias("item_label")
+    )
     return pred.agg(
         F.count("*").alias("n_queries"),
         F.sum(F.when(F.col("item_label") == F.col("true_label"), 1).otherwise(0))
@@ -1015,14 +1020,24 @@ def _q_knn_label_accuracy_ivf(spark, sf_dir):
         kmeans_iters=2,
         train_sample_mod=4,
     ).select("query_id", "item_id")
+    # materialize the (queries x k)-row IVF result ONCE (r7): both the
+    # vote tail and the recall join consume it, and without the cut the
+    # whole quantizer+probe pipeline would be replayed per consumer
+    ivf_top = ivf_top.localCheckpoint(eager=False)
 
     # vote tail — identical to knn_label_accuracy
     top = ivf_top.join(base.select("item_id", "item_label"), "item_id").join(
         q.select("query_id", "true_label"), "query_id"
     )
     votes = top.groupBy("query_id", "true_label", "item_label").agg(F.count("*").alias("v"))
-    wv = Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("item_label").asc())
-    pred = votes.withColumn("rv", F.row_number().over(wv)).filter(F.col("rv") == 1)
+    # top vote per query as a min_by hash agg on the (-v, label) order key
+    # (r7): map-side combinable, no sort window; identical deterministic
+    # winner ((v, item_label) is unique per query)
+    pred = votes.groupBy("query_id", "true_label").agg(
+        F.min_by(
+            "item_label", F.struct((-F.col("v")).alias("nv"), F.col("item_label").alias("l"))
+        ).alias("item_label")
+    )
     acc = pred.agg(
         F.count("*").alias("n_queries"),
         F.sum(F.when(F.col("item_label") == F.col("true_label"), 1).otherwise(0))
