@@ -52,16 +52,30 @@ def rasterize_rings(rings, width: int, height: int, transform) -> np.ndarray:
 def _pip_flat(px, py, ring):
     x1, y1 = ring[:, 0], ring[:, 1]
     x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
-    inside = np.zeros(px.shape[0], dtype=bool)
-    # loop over edges (few), vectorize over points (many)
-    for i in range(len(ring)):
-        a, b, c, d = x1[i], y1[i], x2[i], y2[i]
-        if b == d:
-            continue
-        straddle = (b > py) != (d > py)
+    dy = y2 - y1
+    valid = dy != 0  # horizontal edges never straddle a scan level
+    a, b = x1[valid], y1[valid]
+    c, d = x2[valid], y2[valid]
+    if a.size == 0:
+        return np.zeros(px.shape[0], dtype=bool)
+    # broadcast fully over (edges x points) when the temporary is small —
+    # the cover path probes a handful of tile centers against dense rings,
+    # where the old per-edge loop spent more time in np.errstate context
+    # management than arithmetic (r7; bitwise XOR is commutative, so the
+    # reduce order change cannot alter the parity result)
+    if a.size * px.shape[0] <= 2_000_000:
+        PY, PX = py[None, :], px[None, :]
+        straddle = (b[:, None] > PY) != (d[:, None] > PY)
         with np.errstate(divide="ignore", invalid="ignore"):
-            xint = a + (py - b) * (c - a) / (d - b)
-        inside ^= straddle & (px < xint)
+            xint = a[:, None] + (PY - b[:, None]) * (c - a)[:, None] / (d - b)[:, None]
+        return np.bitwise_xor.reduce(straddle & (PX < xint), axis=0)
+    # large grids (rasterize path): loop over edges, vectorize over points
+    inside = np.zeros(px.shape[0], dtype=bool)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(a.shape[0]):
+            straddle = (b[i] > py) != (d[i] > py)
+            xint = a[i] + (py - b[i]) * (c[i] - a[i]) / (d[i] - b[i])
+            inside ^= straddle & (px < xint)
     return inside
 
 
@@ -278,7 +292,19 @@ def cover_rings(rings, zoom: int) -> np.ndarray:
         tx, ty = _tile_coords_f(r[:, 0], r[:, 1], zoom)
         poly = np.column_stack([tx, ty])
         polys.append(poly)
-        for k in range(len(poly)):
+        # vectorized fast path (r7): an edge whose endpoints share a cell
+        # floor cannot leave that (convex) cell, so it contributes exactly
+        # that one cell — only boundary-crossing edges need the per-edge
+        # Amanatides-Woo walk (at high zoom almost every edge of a dense
+        # ring is intra-cell; the walk was ~2 ms/feature of driver time)
+        fx = np.floor(poly[:, 0]).astype(np.int64)
+        fy = np.floor(poly[:, 1]).astype(np.int64)
+        gx, gy = np.roll(fx, -1), np.roll(fy, -1)
+        same = (fx == gx) & (fy == gy)
+        inb = (fx >= 0) & (fx < n) & (fy >= 0) & (fy < n)
+        keep = same & inb
+        edge_tiles.update(zip(fx[keep].tolist(), fy[keep].tolist()))
+        for k in np.nonzero(~same)[0].tolist():
             a = poly[k]
             b = poly[(k + 1) % len(poly)]
             for cell in _supercover(a, b):
