@@ -1912,7 +1912,10 @@ def _q_seq_pack(spark, sf_dir):
     placement; last_seq pins the doc's final packed-sequence id."""
     from robosat_spark.operators.chunking import chunk_documents, pack_chunks
 
-    pk = pack_chunks(chunk_documents(_t(spark, sf_dir, "documents")))
+    docs = _t(spark, sf_dir, "documents")
+    # id bounds from the (column-pruned) documents scan — avoids a second
+    # pass over the chunk lineage for the adaptive bucket width (r7)
+    pk = pack_chunks(chunk_documents(docs), id_bounds=docs.select("doc_id"))
     fp48 = F.conv(
         F.substring(
             F.md5(F.concat_ws(

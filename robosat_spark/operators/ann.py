@@ -46,16 +46,27 @@ def lsh_neardup_pairs(
         "id",
         *[lsh_bucket(F.col("v"), tseeds).alias(f"b{t}") for t, tseeds in enumerate(seeds)],
     ).localCheckpoint(eager=False)
-    parts = []
-    for t in range(len(seeds)):
-        a = buckets.select(F.col("id").alias("id_a"), F.col(f"b{t}").alias("bk"))
-        b = buckets.select(F.col("id").alias("id_b"), F.col(f"b{t}").alias("bk"))
-        parts.append(
-            a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        )
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
+    # ONE (table, bucket)-keyed self-join over the exploded bucket rows
+    # (r7, the minhash-band plan shape) instead of L separate self-joins
+    # unioned: the same candidate pairs (a pair colliding in any table
+    # still meets on its (t, bucket) key; duplicates fall to the same
+    # distinct), with one exchange + one join in the plan instead of L
+    tb = buckets.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bk"))
+                    for t in range(len(seeds))
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+    a = tb.select(F.col("id").alias("id_a"), "t", "bk")
+    b = tb.select(F.col("id").alias("id_b"), "t", "bk")
+    cand = (
+        a.join(b, ["t", "bk"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
     cand = cand.distinct()
     # wide exact refine (see dedup.jaccard_prefix_pairs: the per-pair
     # cosine fold is compute-heavy/byte-light; AQE's byte-based

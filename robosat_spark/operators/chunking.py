@@ -74,6 +74,8 @@ def pack_chunks(
     idx_col: str = "chunk_idx",
     len_col: str = "chunk_len",
     bucket_docs: int = 4096,
+    max_buckets: int = 4096,
+    id_bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Sequence packing — the step after chunking in a training-data
     pipeline: lay every chunk head-to-tail in global (``id_col``,
@@ -88,18 +90,32 @@ def pack_chunks(
 
     Scale shape: a global running sum, WITHOUT a single-partition
     window over the data. Two-phase distributed prefix sum: (1) bucket
-    rows by ``id_col DIV bucket_docs`` (order-preserving because the
-    bucket id is the ordering key's major component; ids must be
-    non-negative — DIV truncation would break bucket monotonicity at
-    negative ids) and aggregate one partial sum per bucket; (2) a
-    window cumsum over that B-row table (the ONLY single-partition
-    exchange, B = ceil(max_id/bucket_docs) rows) broadcasts back as
-    per-bucket offsets; (3) the within-bucket cumsum window partitions
-    by bucket — fully distributed. Size ``bucket_docs`` so one bucket's
-    chunks fit an executor partition (the window sorts within bucket).
-    """
-    bkt = F.expr(f"{id_col} DIV {int(bucket_docs)}")
-    ch = chunks.withColumn("__bkt", bkt)
+    rows by ``id_col DIV width`` — truncating DIV is monotone for ANY
+    int64 ids (negative included), so bucket id stays the ordering
+    key's major component; (2) a window cumsum over the bounded bucket
+    table broadcasts back as per-bucket offsets; (3) the within-bucket
+    cumsum window partitions by bucket — fully distributed.
+
+    ``width`` adapts to the ID RANGE (r7, ADVICE fix): a fixed
+    ``id_col DIV bucket_docs`` was right for dense ids but sent
+    xxhash64-style sparse ids (uniform over the whole int64 range —
+    what the curation DAG feeds) into ~one bucket PER DOC, collapsing
+    phase (2) into a single-partition window over ~N rows. Now
+    ``width = max(bucket_docs, range // max_buckets + 1)`` (computed
+    DIV-first so full-range ids cannot overflow), keeping the bucket
+    table <= ~max_buckets rows for dense AND hashed ids while leaving
+    dense-id bucketing byte-identical to the old rule. The id bounds
+    are one metadata-scale driver aggregate (the pagerank node-count
+    convention); pass ``id_bounds`` (any frame whose ``id_col`` spans
+    the same ids, e.g. the documents table) to read them off parquet
+    stats instead of a second pass over the chunk lineage."""
+    src = chunks if id_bounds is None else id_bounds
+    row = src.agg(F.min(id_col).alias("mn"), F.max(id_col).alias("mx")).collect()[0]
+    mn = 0 if row["mn"] is None else int(row["mn"])
+    mx = 0 if row["mx"] is None else int(row["mx"])
+    tdiv = lambda a, b: -(-a // b) if a < 0 else a // b  # noqa: E731 — truncating DIV
+    width = max(int(bucket_docs), tdiv(mx, int(max_buckets)) - tdiv(mn, int(max_buckets)) + 1)
+    ch = chunks.withColumn("__bkt", F.expr(f"{id_col} DIV {width}"))
     bsums = ch.groupBy("__bkt").agg(F.sum(len_col).alias("__bsum"))
     w_b = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offs = bsums.select(

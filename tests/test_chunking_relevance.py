@@ -168,8 +168,9 @@ def test_pack_bucketing_invariance(spark):
 
 
 def test_pack_no_global_single_partition_window(spark):
-    # scale guard: the only single-partition exchange in the plan is the
-    # B-row bucket-offset table; the per-chunk window partitions by
+    # scale guard: the only single-partition exchanges in the plan are
+    # the B-row bucket-offset table and the 1-row id-bounds aggregate
+    # (r7 adaptive bucket width); the per-chunk window partitions by
     # bucket (a naive global Window.orderBy would single-partition the
     # whole chunk stream)
     rows = [(d, 0, 5) for d in range(100)]
@@ -179,6 +180,39 @@ def test_pack_no_global_single_partition_window(spark):
     )
     assert plan.count("Exchange SinglePartition") == 1
     assert "hashpartitioning(__bkt" in plan
+
+
+def test_pack_sparse_hashed_ids_bounded_buckets(spark):
+    """r7 ADVICE fix: xxhash64-style sparse ids (uniform over int64,
+    negatives included) must NOT mint ~one bucket per doc — the adaptive
+    width keeps the bucket table bounded, and the packing output equals
+    the dense-id packing of the same (order-isomorphic) chunk stream."""
+    rng = [(i * 0x9E3779B97F4A7C15 - (1 << 63)) % (1 << 64) - (1 << 63) for i in range(1, 200)]
+    ids = sorted(rng)
+    rows = [(i, 0, 5) for i in ids] + [(i, 1, 3) for i in ids]
+    df = _chunks_df(spark, rows)
+    out = pack_chunks(df, seq_tokens=16)
+    # packing equals the order-isomorphic dense packing (same lengths in
+    # the same (id, idx) order -> same offsets/sequence ids)
+    dense_rows = [(k, idx, ln) for k, (_, idx, ln) in enumerate(sorted(rows))]
+    dense = pack_chunks(_chunks_df(spark, dense_rows), seq_tokens=16)
+    got = [
+        (r["tok_offset"], r["seq_first"], r["seq_last"])
+        for r in out.orderBy("doc_id", "chunk_idx").collect()
+    ]
+    want = [
+        (r["tok_offset"], r["seq_first"], r["seq_last"])
+        for r in dense.orderBy("doc_id", "chunk_idx").collect()
+    ]
+    assert got == want and len(got) == len(rows)
+    # and the bucket table the window runs over is small: count distinct
+    # adaptive buckets directly with the operator's width rule
+    tdiv = lambda a, b: -(-a // b) if a < 0 else a // b  # noqa: E731
+    mn, mx = min(ids), max(ids)
+    width = max(4096, tdiv(mx, 4096) - tdiv(mn, 4096) + 1)
+    n_buckets = len({tdiv(i, width) for i in ids})
+    # truncating-DIV bucket count for these ids stays far below N
+    assert n_buckets <= 4100
 
 
 def test_pack_duckdb_twin_parity(spark):
