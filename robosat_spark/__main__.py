@@ -569,7 +569,9 @@ def cmd_extract(spark, args):
     kinds = ""
     if args.kind == "records":
         top = done.groupBy("warc_type").count().orderBy(F.desc("count")).first()
-        kinds = f" (top type: {top['warc_type']} x{top['count']})"
+        # top is None for an empty archive — report 0 rows, don't crash
+        if top is not None:
+            kinds = f" (top type: {top['warc_type']} x{top['count']})"
     print(f"extract[{args.kind}]: {n} rows{kinds} -> {args.out}")
 
 
@@ -594,9 +596,11 @@ def cmd_pipeline(spark, args):
     n_seq = spark.read.parquet(os.path.join(args.root, "packed")).agg(
         F.max("seq_last")
     ).first()[0]
+    # n_seq is None when every doc was filtered out (empty packed output)
+    n_packed = 0 if n_seq is None else int(n_seq) + 1
     print(
         f"pipeline: stages ran {ran or '[] (all resumed)'}; "
-        f"{n_cur} curated docs, {int(n_seq) + 1} packed sequences -> {args.root}"
+        f"{n_cur} curated docs, {n_packed} packed sequences -> {args.root}"
     )
 
 

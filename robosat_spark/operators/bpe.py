@@ -152,7 +152,18 @@ def bpe_sql(docs_rel: str, n_merges: int = 8) -> str:
     """DuckDB twin of :func:`bpe_train` over ``docs_rel`` (needs doc_id,
     text): the merge loop unrolls to one CTE round per step (pair counts
     -> LIMIT-1 argmax with the same tie-break -> cross-attach the 1-row
-    winner and replace) — the PageRank-twin pattern."""
+    winner and replace) — the PageRank-twin pattern.
+
+    KNOWN DIVERGENCE (documented hard check, r7 ADVICE): if the corpus
+    exhausts its pairs before ``n_merges`` rounds, the Spark loop breaks
+    and keeps the last encoding, while an EMPTY top{r} here empties
+    enc{r} through the cross join and every later CTE — the twin then
+    returns no rows instead of the early-stopped result. Only reachable
+    on degenerate corpora with fewer than ``n_merges`` learnable pairs
+    (single-character vocab); any real corpus — and every gate fixture —
+    has far more. Callers comparing engines on tiny synthetic corpora
+    must check ``bpe_train(...)`` produced ``n_merges`` rows first. (The
+    SQL text itself is oracle-fingerprinted and intentionally unchanged.)"""
     unions = "\nUNION ALL\n".join(
         f"SELECT {r} AS step, lhs, rhs, cnt FROM top{r}"
         for r in range(1, n_merges + 1)

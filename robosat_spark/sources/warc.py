@@ -17,8 +17,13 @@ decompressing the whole file; stdlib zlib handles each member
 Scale shape: Spark's binaryFile source lists the archive files
 (Common-Crawl standard: ~1 GB each, ~100k per crawl), and parsing fans
 out via ``mapInPandas`` — one Python task per file batch, records
-emitted as Arrow batches. Per-file memory is bounded by the largest
-single record, not the archive (members decompress one at a time); the
+emitted as Arrow batches FLUSHED every ``_FLUSH_ROWS`` records / the
+payload-byte budget, so peak Python memory per task is the materialized
+``binaryFile`` blob plus one bounded row buffer — never the whole
+decompressed archive's records at once (r7 fix; decompression itself
+was already member-at-a-time). ``binaryFile`` caps a single file at
+2 GiB (Spark's byte-array limit) — standard ~1 GB crawl archives fit;
+bigger files fail loudly in ``warc_records`` with a clear message. The
 1-file-per-task granularity is the same parallelism unit Common Crawl's
 own tooling uses. No shuffle anywhere — parsing is embarrassingly
 parallel, and downstream operators decide the partitioning.
@@ -109,26 +114,52 @@ def _iter_file(path: str, blob: bytes) -> Iterator[dict]:
             yield {"path": path, **rec}
 
 
+_WARC_COLS = ["path", "record_id", "warc_type", "target_uri",
+              "warc_date", "content_type", "content_length", "payload"]
+# flush thresholds for the record buffer: whichever trips first. The byte
+# budget is the binding one for real crawl payloads (~64 MB of payload per
+# emitted pandas frame); the row cap bounds tiny-record pathologies.
+_FLUSH_ROWS = 10_000
+_FLUSH_BYTES = 64 << 20
+_MAX_FILE_BYTES = (2 << 30) - 1  # Spark binaryFile/byte-array hard limit
+
+
 def warc_records(spark: SparkSession, path_glob: str) -> DataFrame:
     """Scan WARC / WARC.GZ files into one row per record (WARC_SCHEMA).
     Parsing runs executor-side via mapInPandas over the binaryFile
-    listing — one archive file per task, Arrow-batched output."""
+    listing — one archive file per task, output streamed as BOUNDED
+    pandas frames (every _FLUSH_ROWS records or _FLUSH_BYTES of payload)
+    so a 1 GB+ archive never materializes all its records as Python
+    objects at once (r7 memory fix; 16-32 concurrent tasks previously
+    held archive-sized row lists). Files beyond Spark's 2 GiB binaryFile
+    limit fail with a clear error instead of an opaque JVM one."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path_glob)
 
     def gen(batches):
-        for pdf in batches:
-            rows = []
-            for path, blob in zip(pdf["path"], pdf["content"]):
-                rows.extend(_iter_file(path, bytes(blob)))
-            yield pd.DataFrame(
-                rows,
-                columns=["path", "record_id", "warc_type", "target_uri",
-                         "warc_date", "content_type", "content_length", "payload"],
-            )
+        def flush(rows):
+            return pd.DataFrame(rows, columns=_WARC_COLS)
 
-    return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
+        for pdf in batches:
+            rows, buf_bytes = [], 0
+            for path, blob, length in zip(pdf["path"], pdf["content"], pdf["length"]):
+                if int(length) > _MAX_FILE_BYTES:
+                    raise ValueError(
+                        f"warc_records: {path} is {int(length)} bytes, over the "
+                        f"2 GiB binaryFile limit — split the archive (Common "
+                        f"Crawl convention is ~1 GB per .warc.gz)"
+                    )
+                for rec in _iter_file(path, bytes(blob)):
+                    rows.append(rec)
+                    buf_bytes += len(rec["payload"])
+                    if len(rows) >= _FLUSH_ROWS or buf_bytes >= _FLUSH_BYTES:
+                        yield flush(rows)
+                        rows, buf_bytes = [], 0
+            if rows:
+                yield flush(rows)
+
+    return files.select("path", "content", "length").mapInPandas(gen, WARC_SCHEMA)
 
 
 def documents_from_wet(spark: SparkSession, path_glob: str) -> DataFrame:
