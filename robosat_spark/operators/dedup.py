@@ -546,9 +546,10 @@ def duplicate_span_ranges(
     side is corpus-sized, never collected — AQE may still broadcast it
     when it turns out small) -> per-doc gaps-and-islands merge with two
     windows partitioned by doc_id. The gram explode feeds both the count
-    and the probe side, so it is computed twice — a looping caller can
-    persist() the exploded frame, but the operator does not pin storage
-    itself (see the hist_quantiles eager-checkpoint lesson)."""
+    and the probe side, so it is computed twice — an r7 A/B measured a
+    localCheckpoint of the exploded grams SLOWER than the recompute (the
+    zip_with n-gram build is cheaper than materializing gram strings),
+    unlike the md5-heavy dsir/lm explodes which do checkpoint."""
     w = words(F.col(text_col))
     g = (
         docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))

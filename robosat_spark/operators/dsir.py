@@ -17,10 +17,11 @@ MICRO-units before any sum (the lm.py / PageRank fixed-point
 discipline), so per-doc aggregates are order-independent integer
 arithmetic and the DuckDB twin matches bit-for-bit.
 
-Scale shape: the feature explode is consumed twice — once by a SINGLE
-conditional aggregation that produces BOTH distributions (source count +
-target count per bucket in one map-side-combined pass) and once by the
-per-doc probe; the bucket table is ``n_buckets``-bounded so its joins
+Scale shape: the feature explode is computed ONCE and locally
+checkpointed (r7) — its two consumers (a SINGLE conditional aggregation
+producing BOTH distributions map-side-combined, and the per-doc probe)
+read the materialized triples instead of each replaying the md5 gram
+hashing; the bucket table is ``n_buckets``-bounded so its joins
 broadcast, and the (T, S) totals attach as a 1-row broadcast hash join
 on a data-derived pmod key (a lit key would constant-fold into the BNLJ
 cross the plan guard forbids).
@@ -77,6 +78,15 @@ def dsir_weights(
         _feat_buckets(F.col(text_col), n_buckets).alias("bks"),
     )
     fb = base.select("doc_id", "is_target", F.explode("bks").alias("b"))
+    # materialize the hashed-feature explode ONCE (r7, guide §3.3/§5):
+    # both the distribution aggregation and the per-doc probe consume it,
+    # and without the cut Catalyst replays the md5 hashing of every gram
+    # per consumer (measured -22% at sf0.1). The pre-checkpoint pipeline
+    # is pure map-side (scan -> explode), so the lazy RDD materialization
+    # loses no join/AQE planning; storage is the (doc_id, bool, bucket)
+    # triple per feature — the same corpus-tokens class as the shingle
+    # checkpoint minhash_lsh_pairs already pins, spilling to local disk.
+    fb = fb.localCheckpoint(eager=False)
     # ONE conditional aggregation produces both distributions (a separate
     # filtered agg would make Catalyst replay the corpus-scale feature
     # explode a second time for the target side — plan-audited)

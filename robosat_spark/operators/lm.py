@@ -23,10 +23,10 @@ fixed-point discipline as the PageRank operator — and the DuckDB twin
 matches bit-for-bit. Only the final readout (one exp per doc, rounded to
 6 decimals) is floating point.
 
-Scale shape: the bigram explode is evaluated twice — once into the
-count table, once into the per-doc probe (Catalyst replays lineage per
-consumer; a persist() would pin corpus-scale storage, so the operator
-accepts the second pass, same policy as dedup.duplicate_spans) — plus
+Scale shape: the bigram explode is evaluated ONCE and locally
+checkpointed (r7 — lazy, spills to executor-local disk; its two
+consumers, the count table and the per-doc probe, previously replayed
+the corpus explode per consumer) — plus
 one token pass for the vocab size; context counts ride a window over
 the vocab²-bounded bigram-count table instead of a third corpus pass
 (plan-audited). Count tables join back on equi-keys (AQE may broadcast
@@ -71,6 +71,14 @@ def bigram_lm_scores(
     bg = base.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
     )
+    # materialize the bigram explode ONCE (r7, guide §3.3/§5): the count
+    # table and the per-doc probe both consume it, and without the cut
+    # Catalyst replays the corpus explode per consumer. The pre-checkpoint
+    # pipeline is pure map-side (scan -> zip_with -> explode), so the lazy
+    # RDD materialization loses no join planning; storage is the
+    # (doc_id, w1, w2) triple per bigram — the corpus-tokens class the
+    # minhash shingle checkpoint already pins, spilling to local disk.
+    bg = bg.localCheckpoint(eager=False)
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     # context counts as a window over the vocab²-bounded c12 table — a
     # groupBy-then-join on c12 would make Catalyst recompute the whole
