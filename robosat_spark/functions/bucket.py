@@ -203,10 +203,17 @@ def murmur3_32_string(col: Column) -> Column:
     UNSIGNED bigint. Variable length is handled with a higher-order
     ``aggregate`` fold over the 4-byte blocks of the hex encoding —
     still entirely JVM-side built-ins (no UDF); the fold lambda is ONE
-    block mix, so the expression stays constant-size regardless of
-    string length (the runtime fold carries the loop, not the plan).
-    Used for bucketing on string keys (url, registered domain); the
-    long variant is the straight-line fast path for numeric ids."""
+    block mix, so the runtime fold carries the loop, not the plan.
+
+    COLUMN-FORM CAVEAT (r7 measurement): nesting the tail mix and the
+    final avalanche around the fold duplicates the whole fold subtree
+    through the 2-3x operand fan-out of mul32/rotl32/xor (~70 copies in
+    the final tree) — fine for literals and tiny test frames, but on a
+    real write path it cost ~17 s of Catalyst analysis plus a codegen
+    that re-evaluated the fold per duplicated reference. DataFrame
+    callers must use :func:`with_murmur3_string` /
+    :func:`with_bucket_string`, which name every step as its own column
+    exactly like the long variant's SSA chain."""
     hx = F.hex(F.encode(col, "UTF-8"))
     nb = F.length(F.encode(col, "UTF-8"))
     nblocks = F.floor(nb / 4).cast("int")
@@ -270,11 +277,114 @@ def murmur3_32_string(col: Column) -> Column:
     return h.bitwiseXOR(F.shiftright(h, 16))
 
 
+def _mul32_col(x: Column, c: int) -> Column:
+    xl = x.bitwiseAND(F.lit(0xFFFF))
+    xh = F.shiftright(x, 16)
+    hi = (xh * F.lit(c)).bitwiseAND(F.lit(0xFFFF))
+    return (xl * F.lit(c) + F.shiftleft(hi, 16)).bitwiseAND(F.lit(_M32))
+
+
+def _rotl32_col(x: Column, r: int) -> Column:
+    return F.shiftleft(x, r).bitwiseAND(F.lit(_M32)).bitwiseOR(
+        F.shiftright(x, 32 - r)
+    )
+
+
+_STR_TMP = (
+    "__shx", "__snb", "__snbl", "__sagg", "__sk0", "__sk1", "__sk2",
+    "__sk3", "__sh0", "__sh1", "__sh2", "__sh3", "__sh4", "__sh5",
+)
+
+
 def with_murmur3_string(df: DataFrame, src: str, out: str) -> DataFrame:
-    """DataFrame form of :func:`murmur3_32_string`, symmetric with the
-    long variant. The string expression is constant-size (the fold
-    carries the loop), so a single withColumn is already linear."""
-    return df.withColumn(out, murmur3_32_string(F.col(src)))
+    """DataFrame form of the spec string hash as an SSA withColumn chain
+    (same arithmetic as :func:`murmur3_32_string`, pinned to the same
+    spec vectors in tests/test_bucket.py): the block loop stays ONE
+    constant-size runtime ``aggregate`` fold, and the tail mix + final
+    avalanche are each a named single-step temporary, so every subtree
+    is planned and codegen-evaluated exactly once. Replaced the nested
+    Column form on the write path in r7: the inverted-index build over
+    sf0.1 postings dropped ~60 s -> ~3 s (17 s of it pure Catalyst
+    analysis of the duplicated fold)."""
+    hx = F.col("__shx")
+
+    def byte_at(i: Column) -> Column:
+        # 1-based substring over the hex string; byte i is chars 2i+1..2i+2.
+        # A one-conv-per-4-byte-block + integer byteswap variant was
+        # interleave-A/B'd in r7 and lost (block ~8.8-9.1 s vs per-byte
+        # ~7.0-7.7 s on the sf0.1 index write): the wide conv costs more
+        # than the three convs it replaces.
+        return F.conv(F.substring(hx, i * 2 + 1, 2), 16, 10).cast("bigint")
+
+    def fold_step(h: Column, i: Column) -> Column:
+        base = i * 4
+        k = (
+            byte_at(base)
+            + F.shiftleft(byte_at(base + 1), 8)
+            + F.shiftleft(byte_at(base + 2), 16)
+            + F.shiftleft(byte_at(base + 3), 24)
+        )
+        k = _mul32_col(k, _C1)
+        k = _rotl32_col(k, 15)
+        k = _mul32_col(k, _C2)
+        h = h.bitwiseXOR(k)
+        h = _rotl32_col(h, 13)
+        return (_mul32_col(h, 5) + F.lit(_MIX_ADD)).bitwiseAND(F.lit(_M32))
+
+    nb = F.col("__snb")
+    nblocks = F.col("__snbl")
+    rem = nb % 4
+    tb = nblocks * 4
+    w = (
+        df.withColumn("__shx", F.hex(F.encode(F.col(src), "UTF-8")))
+        .withColumn("__snb", F.length(F.encode(F.col(src), "UTF-8")))
+        .withColumn("__snbl", F.floor(F.col("__snb") / 4).cast("int"))
+        .withColumn(
+            "__sagg",
+            F.when(
+                nblocks > 0,
+                F.aggregate(
+                    F.sequence(F.lit(0), nblocks - 1),
+                    F.lit(0).cast("bigint"),
+                    fold_step,
+                ),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "__sk0",
+            F.when(
+                rem == 3,
+                byte_at(tb)
+                + F.shiftleft(byte_at(tb + 1), 8)
+                + F.shiftleft(byte_at(tb + 2), 16),
+            )
+            .when(rem == 2, byte_at(tb) + F.shiftleft(byte_at(tb + 1), 8))
+            .when(rem == 1, byte_at(tb))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn("__sk1", _mul32_col(F.col("__sk0"), _C1))
+        .withColumn("__sk2", _rotl32_col(F.col("__sk1"), 15))
+        .withColumn("__sk3", _mul32_col(F.col("__sk2"), _C2))
+        .withColumn(
+            "__sh0",
+            F.when(rem > 0, F.col("__sagg").bitwiseXOR(F.col("__sk3"))).otherwise(
+                F.col("__sagg")
+            ),
+        )
+        .withColumn("__sh1", F.col("__sh0").bitwiseXOR(nb.cast("bigint")))
+        .withColumn(
+            "__sh2", F.col("__sh1").bitwiseXOR(F.shiftright(F.col("__sh1"), 16))
+        )
+        .withColumn("__sh3", _mul32_col(F.col("__sh2"), _FMIX1))
+        .withColumn(
+            "__sh4", F.col("__sh3").bitwiseXOR(F.shiftright(F.col("__sh3"), 13))
+        )
+        .withColumn("__sh5", _mul32_col(F.col("__sh4"), _FMIX2))
+        .withColumn(
+            out, F.col("__sh5").bitwiseXOR(F.shiftright(F.col("__sh5"), 16))
+        )
+    )
+    return w.drop(*_STR_TMP)
 
 
 def iceberg_bucket_string(col: Column, n: int) -> Column:
@@ -283,7 +393,12 @@ def iceberg_bucket_string(col: Column, n: int) -> Column:
 
 
 def with_bucket_string(df: DataFrame, src: str, out: str, n: int) -> DataFrame:
-    return df.withColumn(out, iceberg_bucket_string(F.col(src), n))
+    w = with_murmur3_string(df, src, "__mhs")
+    w = w.withColumn(
+        out,
+        F.col("__mhs").bitwiseAND(F.lit(_MAX_INT)).__mod__(F.lit(n)).cast("int"),
+    )
+    return w.drop("__mhs")
 
 
 # -- DuckDB SQL twin (nested-subselect chain, same step list) -----------------
