@@ -36,8 +36,10 @@ def geotagged_points(pages: DataFrame, zoom: int) -> DataFrame:
     """pages -> (url, warc_ts, lon, lat, tile_id): the scan-side prep.
 
     Geotag extraction is pure regex+cast (G27) and tile encode is pure
-    arithmetic — both JVM-side, so Catalyst pushes the ``isNotNull`` filter
-    into the scan and prunes every other column."""
+    arithmetic — both JVM-side; column pruning still reaches the scan,
+    while the geotag filter deliberately does NOT push below the
+    projection (see the barrier comment below: pushing it re-evaluates
+    the extraction per reference)."""
     lon = geotag_lon_fast(F.col("text"))
     lat = geotag_lat_fast(F.col("text"))
     pts = pages.select(
@@ -45,7 +47,26 @@ def geotagged_points(pages: DataFrame, zoom: int) -> DataFrame:
         "warc_ts",
         lon.alias("lon"),
         lat.alias("lat"),
-    ).filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+    ).filter(
+        # Evaluation barrier (r7, guide §4.4 applied to built-ins): the
+        # plain isNotNull filter is pushed BELOW the projection, and
+        # because codegen CSE does not span the Filter/Project boundary
+        # the text-build + parse ran ~4x per row (filter lon+lat, then
+        # project lon+lat again) — measured 8.0 -> 1.8 s on a 1M-row
+        # points stage. Wrapping the condition in a single
+        # non-deterministic WHEN makes it non-pushable and non-splittable
+        # (conjunct splitting would push the deterministic halves alone),
+        # so lon/lat are computed ONCE in the projection and the filter
+        # reads the attributes. monotonically_increasing_id() >= 0 is
+        # always true by construction (non-negative partition id << 33 |
+        # counter), on every task attempt — retry-safe, value-identical
+        # output (exceptAll both ways == 0 on the 800k-row A/B; all 50
+        # oracle gates re-verified).
+        F.when(
+            F.monotonically_increasing_id() >= 0,
+            F.col("lon").isNotNull() & F.col("lat").isNotNull(),
+        ).otherwise(F.lit(False))
+    )
     return pts.withColumn(
         "tile_id", pack_tile_id(zoom, tile_x(F.col("lon"), zoom), tile_y(F.col("lat"), zoom))
     )

@@ -112,7 +112,20 @@ def pages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     geotag-extraction + tile-encode + PIP operators on this table while the
     DuckDB oracle recomputes lon/lat arithmetically — an end-to-end
     correctness gate for the extraction chain (G27)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .scan import fan_out_unsplittable_scan
+
+    path = f"{sf_dir}/events.parquet"
+    # The %.7f text build below runs INSIDE the scan projection at
+    # ~11 us/row, so a single-row-group events file makes the whole
+    # pages family single-threaded regardless of cores; fan the RAW
+    # event columns (an exchange ABOVE the projection cannot help — the
+    # formatting would already have happened in the lone scan task).
+    # Size-floored + row-group-aware: a no-op at the small bench tables
+    # (fresh-JVM A/B: fanning 2 MB loses ~0.1 s) and at any input whose
+    # footer already yields natural scan parallelism.
+    ev = fan_out_unsplittable_scan(
+        spark, spark.read.parquet(path), path
+    )
     i = F.col("event_id")
     lon = ((i * EV_LON_MULT) % 360000).cast("double") / F.lit(1000.0) - F.lit(180.0)
     lat = ((i * EV_LAT_MULT) % 160000).cast("double") / F.lit(1000.0) - F.lit(80.0)
