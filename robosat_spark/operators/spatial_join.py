@@ -42,31 +42,31 @@ def geotagged_points(pages: DataFrame, zoom: int) -> DataFrame:
     the extraction per reference)."""
     lon = geotag_lon_fast(F.col("text"))
     lat = geotag_lat_fast(F.col("text"))
+    # Evaluation barrier (r7, guide §4.4 applied to built-in exprs): with
+    # plain projection fields, Catalyst pushes the isNotNull filter
+    # through the projection AND through the scan-parallelism fan
+    # exchange (sources/scan.fan_out_unsplittable_scan) back onto the
+    # unsplittable single-task scan, where its condition re-inlines the
+    # whole text build + geotag parse — the exact single-threaded wall
+    # the fan exists to remove, plus a duplicated evaluation above.
+    # Filters only push through a Project whose fields are ALL
+    # deterministic, so wrapping lon/lat in an always-true
+    # non-deterministic WHEN pins every downstream filter above this
+    # projection, evaluating attribute references: the parse runs once,
+    # on the fanned (parallel) side. spark_partition_id() >= 0 is true
+    # by construction on every task attempt (retry-safe, and legal in
+    # Structured Streaming, unlike monotonically_increasing_id), so the
+    # value is identical — verified exceptAll-both-ways empty on an
+    # 800k-row 10x points stage and by all 50 oracle gates at two SFs.
+    # Measured on the 10x set at 32 cores (noop sink): 8.0 s plain ->
+    # 2.0-2.4 s with a filter-side WHEN -> 1.4-2.0 s with this shape.
+    nd = F.spark_partition_id() >= 0
     pts = pages.select(
         "url",
         "warc_ts",
-        lon.alias("lon"),
-        lat.alias("lat"),
-    ).filter(
-        # Evaluation barrier (r7, guide §4.4 applied to built-ins): the
-        # plain isNotNull filter is pushed BELOW the projection, and
-        # because codegen CSE does not span the Filter/Project boundary
-        # the text-build + parse ran ~4x per row (filter lon+lat, then
-        # project lon+lat again) — measured 8.0 -> 1.8 s on a 1M-row
-        # points stage. Wrapping the condition in a single
-        # non-deterministic WHEN makes it non-pushable and non-splittable
-        # (conjunct splitting would push the deterministic halves alone),
-        # so lon/lat are computed ONCE in the projection and the filter
-        # reads the attributes. monotonically_increasing_id() >= 0 is
-        # always true by construction (non-negative partition id << 33 |
-        # counter), on every task attempt — retry-safe, value-identical
-        # output (exceptAll both ways == 0 on the 800k-row A/B; all 50
-        # oracle gates re-verified).
-        F.when(
-            F.monotonically_increasing_id() >= 0,
-            F.col("lon").isNotNull() & F.col("lat").isNotNull(),
-        ).otherwise(F.lit(False))
-    )
+        F.when(nd, lon).alias("lon"),
+        F.when(nd, lat).alias("lat"),
+    ).filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
     return pts.withColumn(
         "tile_id", pack_tile_id(zoom, tile_x(F.col("lon"), zoom), tile_y(F.col("lat"), zoom))
     )

@@ -75,9 +75,13 @@ def streaming_tile_counts(
 
     lon = geotag_lon_fast(F.col("text"))
     lat = geotag_lat_fast(F.col("text"))
+    # always-true non-deterministic wrap: same single-evaluation barrier
+    # as batch geotagged_points (spark_partition_id is streaming-legal;
+    # without it the isNotNull filter re-inlines the parse below)
+    nd = F.spark_partition_id() >= 0
     pts = (
         pages.withWatermark("warc_ts", watermark)
-        .select("url", "warc_ts", lon.alias("lon"), lat.alias("lat"))
+        .select("url", "warc_ts", F.when(nd, lon).alias("lon"), F.when(nd, lat).alias("lat"))
         .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
         .withColumn(
             "tile_id", pack_tile_id(zoom, tile_x(F.col("lon"), zoom), tile_y(F.col("lat"), zoom))
@@ -179,9 +183,11 @@ def streaming_feature_counts(
 
     lon = geotag_lon_fast(F.col("text"))
     lat = geotag_lat_fast(F.col("text"))
+    # same streaming-legal single-evaluation barrier as streaming_tile_counts
+    nd = F.spark_partition_id() >= 0
     pts = (
         pages.withWatermark("warc_ts", watermark)
-        .select("url", "warc_ts", lon.alias("lon"), lat.alias("lat"))
+        .select("url", "warc_ts", F.when(nd, lon).alias("lon"), F.when(nd, lat).alias("lat"))
         .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
         .withColumn(
             "tile_id", pack_tile_id(zoom, tile_x(F.col("lon"), zoom), tile_y(F.col("lat"), zoom))
